@@ -1,0 +1,169 @@
+"""
+Image ops (NHWC), semantics-matched to the reference's torch calls.
+
+All tensors are [B, H, W, C] (TPU-native layout; the reference uses NCHW).
+Interpolation matches `torch.nn.functional.interpolate` conventions exactly
+(reference call sites: packnet_sfm/utils/image.py:117-215), which is where
+depth-estimation parity is usually won or lost.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+########################################################################################################################
+# Gradients / flips (reference: utils/image.py:43-113)
+
+def gradient_x(image):
+    """d/dx forward difference: [B,H,W,C] -> [B,H,W-1,C]."""
+    return image[:, :, :-1, :] - image[:, :, 1:, :]
+
+
+def gradient_y(image):
+    """d/dy forward difference: [B,H,W,C] -> [B,H-1,W,C]."""
+    return image[:, :-1, :, :] - image[:, 1:, :, :]
+
+
+def flip_lr(image):
+    """Horizontal flip of an NHWC image."""
+    return image[:, :, ::-1, :]
+
+
+########################################################################################################################
+# Interpolation (torch-parity)
+
+def _linear_weights(out_size, in_size, align_corners, dtype=jnp.float32):
+    """Source coords for 1-D linear resize per torch conventions."""
+    i = jnp.arange(out_size, dtype=dtype)
+    if align_corners:
+        if out_size == 1:
+            src = jnp.zeros((1,), dtype)
+        else:
+            src = i * (in_size - 1) / (out_size - 1)
+    else:
+        src = (i + 0.5) * in_size / out_size - 0.5
+        src = jnp.clip(src, 0.0, in_size - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    lo = jnp.clip(lo, 0, in_size - 1)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    w_hi = src - lo.astype(dtype)
+    return lo, hi, w_hi
+
+
+def interpolate(image, shape, mode='bilinear', align_corners=True):
+    """
+    Resize [B,H,W,C] to (H',W'), matching torch.nn.functional.interpolate.
+
+    mode: 'bilinear' (align_corners True/False) or 'nearest'
+    (torch 'nearest' = floor(i * in/out)).
+    """
+    H, W = int(shape[0]), int(shape[1])
+    B, h, w, C = image.shape
+    if (h, w) == (H, W):
+        return image
+    if mode == 'nearest':
+        ys = jnp.floor(jnp.arange(H) * (h / H)).astype(jnp.int32)
+        xs = jnp.floor(jnp.arange(W) * (w / W)).astype(jnp.int32)
+        return image[:, ys][:, :, xs]
+    if mode == 'bilinear':
+        dtype = image.dtype if jnp.issubdtype(image.dtype, jnp.floating) else jnp.float32
+        ylo, yhi, wy = _linear_weights(H, h, align_corners, dtype)
+        xlo, xhi, wx = _linear_weights(W, w, align_corners, dtype)
+        top = image[:, ylo]      # [B,H,w,C]
+        bot = image[:, yhi]
+        rows = top + (bot - top) * wy[None, :, None, None]
+        left = rows[:, :, xlo]   # [B,H,W,C]
+        right = rows[:, :, xhi]
+        return left + (right - left) * wx[None, None, :, None]
+    raise ValueError('Unknown interpolation mode {}'.format(mode))
+
+
+def upsample2x_nearest(x):
+    """Fast 2x nearest upsample [B,H,W,C] -> [B,2H,2W,C] (decoder hot path)."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, 2 * H, 2 * W, C)
+
+
+def match_scales(image, target_shapes, num_scales, mode='bilinear', align_corners=True):
+    """
+    Produce a list of `num_scales` resized copies of `image` matching the
+    (H,W) of each target (reference: utils/image.py:181-215).
+    `target_shapes` is a list of (H, W) tuples or arrays with .shape [B,H,W,C].
+    """
+    out = []
+    for i in range(num_scales):
+        t = target_shapes[i]
+        hw = t if isinstance(t, tuple) else (t.shape[1], t.shape[2])
+        out.append(interpolate(image, hw, mode=mode, align_corners=align_corners))
+    return out
+
+
+########################################################################################################################
+# grid_sample (torch-parity: bilinear, align_corners=True, zeros padding)
+
+def grid_sample(image, grid, padding_mode='zeros'):
+    """
+    Bilinear sampling of [B,H,W,C] at normalized coords grid [B,Ho,Wo,2]
+    (x, y in [-1, 1]), matching torch.nn.functional.grid_sample(
+    mode='bilinear', align_corners=True) (reference call:
+    geometry/camera_utils.py:56-58). Out-of-bounds samples contribute zeros
+    ('zeros') or clamp to the border ('border').
+    """
+    B, H, W, C = image.shape
+    gx, gy = grid[..., 0], grid[..., 1]
+    # Unnormalize (align_corners=True): -1 -> 0, +1 -> size-1
+    x = (gx + 1.0) * 0.5 * (W - 1)
+    y = (gy + 1.0) * 0.5 * (H - 1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def gather(yi, xi):
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        flat = image.reshape(B, H * W, C)
+        idx = yc * W + xc                        # [B,Ho,Wo]
+        return jnp.take_along_axis(
+            flat, idx.reshape(B, -1, 1), axis=1).reshape(idx.shape + (C,))
+
+    if padding_mode == 'zeros':
+        def valid(yi, xi):
+            return ((yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1)
+                    ).astype(image.dtype)[..., None]
+        out = (gather(y0, x0) * valid(y0, x0) * (wy0 * wx0)[..., None] +
+               gather(y0, x1) * valid(y0, x1) * (wy0 * wx1)[..., None] +
+               gather(y1, x0) * valid(y1, x0) * (wy1 * wx0)[..., None] +
+               gather(y1, x1) * valid(y1, x1) * (wy1 * wx1)[..., None])
+    elif padding_mode == 'border':
+        out = (gather(y0, x0) * (wy0 * wx0)[..., None] +
+               gather(y0, x1) * (wy0 * wx1)[..., None] +
+               gather(y1, x0) * (wy1 * wx0)[..., None] +
+               gather(y1, x1) * (wy1 * wx1)[..., None])
+    else:
+        raise ValueError('Unknown padding mode {}'.format(padding_mode))
+    return out
+
+
+########################################################################################################################
+# Pooling / padding helpers
+
+def reflect_pad_2d(x, pad=1):
+    """Reflection padding on H and W of [B,H,W,C] (torch ReflectionPad2d)."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode='reflect')
+
+
+def avg_pool_3x3(x):
+    """3x3 stride-1 valid average pool on [B,H,W,C] (SSIM inner op)."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 1, 1, 1),
+        padding='VALID')
+    return s / 9.0
