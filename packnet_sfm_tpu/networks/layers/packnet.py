@@ -1,0 +1,157 @@
+"""
+PackNet packing/unpacking layers (flax.linen, NHWC).
+
+TPU re-design of the reference's signature ops
+(reference: networks/layers/packnet/layers01.py):
+- packing: space-to-depth as reshape/transpose (free in XLA)       (:126-148)
+- PackLayerConv3d: space-to-depth -> Conv3D(1->d) over a depth axis ->
+  flatten -> Conv2D+GN+ELU                                          (:213-247)
+- UnpackLayerConv3d: Conv2D -> Conv3D -> pixel shuffle              (:250-286)
+- Conv2D = conv + GroupNorm(16) + ELU                               (:10-37)
+- ResidualConv/Block                                                (:40-95)
+- InvDepth head = 3x3 conv + sigmoid / min_depth                    (:98-122)
+
+Channel interleave order after the Conv3D flatten differs from torch's
+(c*d+j vs j*C+c) — a fixed permutation absorbed by the following conv's
+weights; irrelevant for from-scratch training, documented for ckpt interop.
+"""
+
+from functools import partial
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+XAVIER = nn.initializers.glorot_uniform()
+
+
+def packing(x, r=2):
+    """Space-to-depth: [B,H,W,C] -> [B,H/r,W/r,C*r^2] (inverse of unpacking)."""
+    B, H, W, C = x.shape
+    oh, ow = H // r, W // r
+    x = x.reshape(B, oh, r, ow, r, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)          # [B,oh,ow,C,ry,rx]
+    return x.reshape(B, oh, ow, C * r * r)
+
+
+def unpacking(x, r=2):
+    """Depth-to-space (pixel shuffle): [B,H,W,C*r^2] -> [B,rH,rW,C]."""
+    B, H, W, CR = x.shape
+    C = CR // (r * r)
+    x = x.reshape(B, H, W, C, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)          # [B,H,ry,W,rx,C]
+    return x.reshape(B, H * r, W * r, C)
+
+
+class Conv2D(nn.Module):
+    """conv(k, stride) + GroupNorm(16) + ELU, zero 'same' padding."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.kernel_size // 2
+        x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride), padding=p,
+                    kernel_init=XAVIER, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=16, dtype=jnp.float32)(x)
+        return nn.elu(x)
+
+
+class ResidualConv(nn.Module):
+    """Residual block: Conv2D(3,s) -> Conv2D(3,1) + 1x1 shortcut, GN + ELU."""
+    features: int
+    stride: int = 1
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        y = Conv2D(self.features, 3, self.stride, self.dtype)(x)
+        y = Conv2D(self.features, 3, 1, self.dtype)(y)
+        shortcut = nn.Conv(self.features, (1, 1),
+                           strides=(self.stride, self.stride),
+                           kernel_init=XAVIER, dtype=self.dtype)(x)
+        if self.dropout:
+            shortcut = nn.Dropout(self.dropout, deterministic=not train)(shortcut)
+        out = nn.GroupNorm(num_groups=16, dtype=jnp.float32)(y + shortcut)
+        return nn.elu(out)
+
+
+class ResidualBlock(nn.Module):
+    features: int
+    num_blocks: int
+    stride: int = 1
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        x = ResidualConv(self.features, self.stride, self.dropout, self.dtype)(x, train)
+        for _ in range(1, self.num_blocks):
+            x = ResidualConv(self.features, 1, self.dropout, self.dtype)(x, train)
+        return x
+
+
+class InvDepth(nn.Module):
+    """3x3 conv + sigmoid / min_depth head."""
+    min_depth: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(1, (3, 3), padding=1, kernel_init=XAVIER,
+                    dtype=self.dtype)(x)
+        return nn.sigmoid(x.astype(jnp.float32)) / self.min_depth
+
+
+class _Conv3DStack(nn.Module):
+    """Conv3D(1->d) over (channel-as-depth, H, W) then flatten to channels.
+
+    TPU note: a d-channel 3D conv on a single input channel is MXU-hostile;
+    XLA lowers it to a sum of shifted matmuls, which is acceptable at these
+    sizes. A fused Pallas kernel slot exists in ops/pallas for when profiling
+    justifies it.
+    """
+    d: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        v = x.transpose(0, 3, 1, 2)[..., None]         # [B,C,H,W,1] (C=depth)
+        v = nn.Conv(self.d, (3, 3, 3), padding=1, kernel_init=XAVIER,
+                    dtype=self.dtype)(v)               # [B,C,H,W,d]
+        return v.transpose(0, 2, 3, 1, 4).reshape(B, H, W, C * self.d)
+
+
+class PackLayerConv3d(nn.Module):
+    """pack(r) -> Conv3D(1->d) -> flatten -> Conv2D+GN+ELU back to C."""
+    features: int              # = input channels (layer preserves C)
+    kernel_size: int = 3
+    r: int = 2
+    d: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = packing(x, self.r)
+        x = _Conv3DStack(self.d, self.dtype)(x)
+        return Conv2D(self.features, self.kernel_size, 1, self.dtype)(x)
+
+
+class UnpackLayerConv3d(nn.Module):
+    """Conv2D to out*r^2/d -> Conv3D(1->d) -> pixel shuffle to out channels."""
+    features: int              # output channels
+    kernel_size: int = 3
+    r: int = 2
+    d: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv2D(self.features * (self.r ** 2) // self.d,
+                   self.kernel_size, 1, self.dtype)(x)
+        x = _Conv3DStack(self.d, self.dtype)(x)
+        return unpacking(x, self.r)

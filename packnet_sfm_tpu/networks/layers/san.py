@@ -1,0 +1,160 @@
+"""
+Sparse Auxiliary Network (SAN) LiDAR branch — TPU-native MinkowskiEngine
+replacement.
+
+The reference uses MinkowskiEngine sparse convolutions over the ~5%-fill set
+of projected-LiDAR pixels (reference: networks/layers/minkowski.py:32-78,
+minkowski_encoder.py:11-172). On TPU we re-design this as *masked dense*
+convolutions: a sparse conv's output at an active site equals a dense conv of
+the zero-filled (masked) feature map evaluated there, so
+
+    sparse_conv(x)  ==  mask_out * dense_conv(mask_in * x)
+
+which vectorizes perfectly on the MXU and — at 5% fill of small feature maps
+— costs less than gather/scatter bookkeeping would. Masked BatchNorm
+normalizes over active sites only (matching MinkowskiBatchNorm), and the
+stride-2 "pooling" is a masked max-pool with a mask OR-reduction.
+
+Structure matched to the reference:
+- MinkConv2D: optional pool(3, s2) -> 3 parallel conv stacks (1/2/3 convs) ->
+  sum -> BN+ReLU (minkowski_encoder.py:12-87)
+- MinkowskiEncoder: per-scale stage stack with kernel sizes [5,5,3,3,3] and
+  stride 2, plus optional per-scale FiLM generators (AdaptiveAvgPool + 1x1)
+  (minkowski_encoder.py:89-172)
+"""
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+XAVIER = nn.initializers.glorot_uniform()
+
+
+def sparsify_depth(depth):
+    """[B,H,W,1] depth -> (features, mask) with mask = depth > 0."""
+    mask = (depth > 0.0).astype(depth.dtype)
+    return depth * mask, mask
+
+
+def masked_max_pool(x, mask, window=3, stride=2):
+    """Max-pool active features; mask pools by OR (any active in window)."""
+    pad = ((0, 0), (window // 2,) * 2, (window // 2,) * 2, (0, 0))
+    neg = jnp.where(mask > 0, x, -jnp.inf)
+    pooled = jax.lax.reduce_window(
+        neg, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1), padding=pad)
+    pooled_mask = jax.lax.reduce_window(
+        mask, 0.0, jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1), padding=pad)
+    return jnp.where(pooled_mask > 0, pooled, 0.0), pooled_mask
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over active sites only (MinkowskiBatchNorm semantics)."""
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask, train=True):
+        C = x.shape[-1]
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param('scale', nn.initializers.ones, (C,))
+        bias = self.param('bias', nn.initializers.zeros, (C,))
+
+        if train:
+            cnt = jnp.maximum(jnp.sum(mask), 1.0)
+            mean = jnp.sum(x * mask, axis=(0, 1, 2)) / cnt
+            var = jnp.sum(((x - mean) ** 2) * mask, axis=(0, 1, 2)) / cnt
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y * mask
+
+
+class _MaskedConvSeq(nn.Module):
+    """Sequence of masked convs with BN+ReLU between (one stack of MinkConv2D)."""
+    widths: Sequence[int]
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, train=True):
+        n = len(self.widths)
+        for i, w in enumerate(self.widths):
+            x = nn.Conv(w, (self.kernel_size, self.kernel_size),
+                        padding=self.kernel_size // 2, kernel_init=XAVIER,
+                        dtype=self.dtype)(x * mask) * mask
+            if i < n - 1:
+                x = MaskedBatchNorm()(x, mask, train)
+                x = nn.relu(x) * mask
+        return x
+
+
+class MinkConv2D(nn.Module):
+    """Masked-dense equivalent of the reference MinkConv2D block."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, train=True):
+        if self.stride != 1:
+            x, mask = masked_max_pool(x, mask, 3, self.stride)
+        f, k = self.features, self.kernel_size
+        x1 = _MaskedConvSeq([f], k, self.dtype)(x, mask, train)
+        x2 = _MaskedConvSeq([2 * f, f], k, self.dtype)(x, mask, train)
+        x3 = _MaskedConvSeq([2 * f, 2 * f, f], k, self.dtype)(x, mask, train)
+        y = x1 + x2 + x3
+        y = MaskedBatchNorm()(y, mask, train)
+        return nn.relu(y) * mask, mask
+
+
+class MinkowskiEncoder(nn.Module):
+    """
+    Multi-scale sparse depth encoder with optional depth-aware FiLM.
+
+    Call `stage(i, feats, mask, train)` per pyramid level; returns
+    (dense_features, new_mask[, gamma, beta]). Unlike the stateful reference
+    (prep/forward counter), stages are addressed explicitly — functional and
+    jit-friendly.
+    """
+    channels: Sequence[int]
+    rgb_channels: Sequence[int] = None  # per-scale FiLM widths (0 = disabled)
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        ks = [5, 5] + [3] * (len(self.channels) - 1)
+        self.mconvs = [
+            MinkConv2D(self.channels[i], ks[i], 2, self.dtype,
+                       name=f'mconv_{i}')
+            for i in range(len(self.channels))]
+        films = {}
+        if self.rgb_channels is not None:
+            for i, rgb_ch in enumerate(self.rgb_channels):
+                if rgb_ch and rgb_ch > 0:
+                    films[str(i)] = nn.Conv(rgb_ch * 2, (1, 1),
+                                            kernel_init=XAVIER,
+                                            name=f'film_{i}')
+        self.films = films
+
+    def __call__(self, scale, feats, mask, train=True):
+        feats, mask = self.mconvs[scale](feats, mask, train)
+        dense = feats * mask  # densify: zeros at inactive sites
+        if str(scale) in self.films:
+            pooled = dense.mean(axis=(1, 2), keepdims=True)  # AdaptiveAvgPool2d(1)
+            params = self.films[str(scale)](pooled)
+            gamma, beta = jnp.split(params, 2, axis=-1)
+            return dense, mask, gamma, beta
+        return dense, mask

@@ -1,0 +1,104 @@
+"""Shape/behaviour tests for the network zoo (CPU, tiny inputs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from packnet_sfm_tpu.networks import (
+    ResNetSAN01, DepthResNet, PackNet01, PackNetSlim01, PackNetSAN01,
+    PoseNet, PoseResNet)
+
+B, H, W = 2, 64, 96
+
+
+@pytest.fixture(scope='module')
+def rgb():
+    return jnp.asarray(np.random.RandomState(0).rand(B, H, W, 3), jnp.float32)
+
+
+@pytest.fixture(scope='module')
+def sparse_depth():
+    rng = np.random.RandomState(1)
+    d = rng.rand(B, H, W, 1).astype(np.float32) * 10
+    mask = rng.rand(B, H, W, 1) < 0.05
+    return jnp.asarray(d * mask)
+
+
+def _init_and_run(net, *args, train=True, **kwargs):
+    variables = net.init({'params': jax.random.PRNGKey(0)}, *args,
+                         train=train, **kwargs)
+    out, _ = net.apply(variables, *args, train=train, **kwargs,
+                       mutable=['batch_stats'])
+    return out
+
+
+def test_resnet_san_rgb_only(rgb):
+    net = ResNetSAN01(version='18A')
+    out = _init_and_run(net, rgb)
+    assert len(out['inv_depths']) == 4
+    d0 = out['inv_depths'][0]
+    assert d0.shape == (B, H, W, 1)
+    v = np.asarray(d0)
+    assert (v >= 0).all() and (v <= 1).all()  # raw sigmoids
+    # scale pyramid: each scale halves resolution
+    for i, d in enumerate(out['inv_depths']):
+        assert d.shape == (B, H // 2 ** i, W // 2 ** i, 1)
+
+
+def test_resnet_san_with_lidar(rgb, sparse_depth):
+    net = ResNetSAN01(version='18A', use_film=True, film_scales=(0,))
+    out = _init_and_run(net, rgb, sparse_depth)
+    assert 'inv_depths_rgbd' in out
+    assert 'depth_loss' in out
+    assert np.isfinite(float(out['depth_loss']))
+
+
+def test_resnet_san_dual_head(rgb):
+    net = ResNetSAN01(version='18A', use_dual_head=True, max_depth=15.0)
+    out = _init_and_run(net, rgb)
+    assert ('integer', 0) in out and ('fractional', 0) in out
+    assert out[('integer', 0)].shape == (B, H, W, 1)
+
+
+def test_resnet_san_eval_single_scale(rgb):
+    net = ResNetSAN01(version='18A')
+    variables = net.init({'params': jax.random.PRNGKey(0)}, rgb, train=True)
+    out = net.apply(variables, rgb, train=False)
+    assert len(out['inv_depths']) == 1
+
+
+def test_depth_resnet(rgb):
+    out = _init_and_run(DepthResNet(version='18pt'), rgb)
+    d = np.asarray(out['inv_depths'][0])
+    assert (d >= 1 / 100.0 - 1e-6).all() and (d <= 1 / 0.1 + 1e-6).all()
+
+
+@pytest.mark.parametrize('cls,version', [
+    (PackNet01, '1A'), (PackNet01, '1B'), (PackNetSlim01, '1A')])
+def test_packnet(rgb, cls, version):
+    out = _init_and_run(cls(version=version), rgb)
+    assert len(out['inv_depths']) == 4
+    assert out['inv_depths'][0].shape == (B, H, W, 1)
+
+
+def test_packnet_san(rgb, sparse_depth):
+    out = _init_and_run(PackNetSAN01(version='1A'), rgb, sparse_depth)
+    assert 'inv_depths_rgbd' in out and 'depth_loss' in out
+
+
+def test_posenet(rgb):
+    ctx = [rgb, rgb]
+    net = PoseNet(nb_ref_imgs=2)
+    variables = net.init({'params': jax.random.PRNGKey(0)}, rgb, ctx)
+    pose = net.apply(variables, rgb, ctx)
+    assert pose.shape == (B, 2, 6)
+    assert float(jnp.abs(pose).max()) < 1.0  # 0.01-scaled output
+
+
+def test_pose_resnet(rgb):
+    ctx = [rgb, rgb]
+    net = PoseResNet(version='18pt')
+    out = _init_and_run(net, rgb, ctx)
+    assert out.shape == (B, 2, 6)
