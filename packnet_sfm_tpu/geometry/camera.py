@@ -209,7 +209,9 @@ class FisheyeCamera:
         Z = jnp.clip(Xc[..., 2], a_min=eps)
         x_norm = Xc[..., 0] / Z
         y_norm = Xc[..., 1] / Z
-        r = jnp.sqrt(x_norm ** 2 + y_norm ** 2)
+        # Safe sqrt: grad of sqrt(0) is NaN; the 1e-18 floor changes the
+        # forward value only at the exact principal-point ray.
+        r = jnp.sqrt(x_norm ** 2 + y_norm ** 2 + 1e-18)
         theta = jnp.arctan(r)
         # 7-term polynomial in theta (Horner form for VPU efficiency)
         k = self.k  # [B,7]
