@@ -87,12 +87,12 @@ class CfgNode(dict):
     def dump(self):
         return yaml.safe_dump(self.to_dict(), default_flow_style=False)
 
-    def save(self, path):
+    def save_yaml(self, path):
         with open(path, 'w') as f:
             f.write(self.dump())
 
     @classmethod
-    def load(cls, path):
+    def load_yaml(cls, path):
         with open(path, 'r') as f:
             return cls(yaml.safe_load(f) or {})
 

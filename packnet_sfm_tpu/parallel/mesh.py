@@ -1,0 +1,72 @@
+"""
+Device mesh + sharding helpers — the TPU-native distributed backend.
+
+Replaces the reference's entire Horovod/NCCL surface
+(reference: utils/horovod.py:11-133, utils/reduce.py:9-80,
+model_wrapper.py:1138-1144):
+- gradient allreduce        -> inserted by the SPMD partitioner (replicated
+                               params + batch sharded over the 'data' axis)
+- param/optimizer broadcast -> implicit: replicated init from one PRNG key
+- metric allreduce          -> jnp mean of sharded per-example metrics
+- DistributedSampler        -> per-host shard of the index space
+                               (datasets/loader.py)
+
+Collectives ride ICI via XLA; nothing here talks NCCL/MPI.
+"""
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(mesh_shape=(), axis_names=('data',), devices=None):
+    """Create a Mesh; default = all devices on one 'data' axis."""
+    devices = devices if devices is not None else jax.devices()
+    if not mesh_shape:
+        mesh_shape = (len(devices),)
+    devs = np.asarray(devices[:int(np.prod(mesh_shape))]).reshape(mesh_shape)
+    return Mesh(devs, axis_names)
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh, axis='data'):
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(batch, mesh, axis='data'):
+    """Place a host batch dict onto the mesh, batch-dim sharded."""
+    sharding = batch_sharded(mesh, axis)
+
+    def put(x):
+        import jax.numpy as jnp
+        x = jnp.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, replicated(mesh))
+        return jax.device_put(x, NamedSharding(
+            mesh, P(axis, *([None] * (x.ndim - 1)))))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate_state(state, mesh):
+    """Place a train-state pytree fully replicated on the mesh."""
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+
+
+# -- reference-compatible rank/size shims (world is one jit program on TPU) --
+
+def rank():
+    return jax.process_index()
+
+
+def world_size():
+    return jax.process_count()
+
+
+def is_rank_0():
+    return jax.process_index() == 0

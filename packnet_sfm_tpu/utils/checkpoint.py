@@ -1,0 +1,100 @@
+"""
+Checkpointing: self-describing checkpoints carrying config + model +
+optimizer + scheduler state, mirroring the reference payload
+(reference: models/model_checkpoint.py:66-75 {config, epoch, state_dict,
+optimizer, scheduler}) — here: {config, epoch, step, params, batch_stats,
+opt_state}.
+
+Format: a single .ckpt file = pickled dict with numpy leaves (host-side,
+device-independent). Top-k monitoring logic mirrors ModelCheckpoint
+(model_checkpoint.py:44-126).
+"""
+
+import os
+import pickle
+
+import numpy as np
+import jax
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save_checkpoint(path, config, state, epoch=None):
+    """Write a self-describing checkpoint. `state` is a TrainState."""
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    payload = {
+        'config': config.to_dict() if hasattr(config, 'to_dict') else dict(config),
+        'epoch': int(epoch if epoch is not None else state.epoch),
+        'step': int(state.step),
+        'params': _to_host(state.params),
+        'batch_stats': _to_host(state.batch_stats),
+        'opt_state': _to_host(state.opt_state),
+    }
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path):
+    if os.path.isdir(path):
+        ckpts = sorted(p for p in os.listdir(path) if p.endswith('.ckpt'))
+        assert ckpts, 'No .ckpt files in {}'.format(path)
+        path = os.path.join(path, ckpts[-1])
+    with open(path, 'rb') as f:
+        return pickle.load(f)
+
+
+class ModelCheckpoint:
+    """Top-k checkpoint monitor (reference: model_checkpoint.py:27-126)."""
+
+    def __init__(self, filepath, monitor='loss', save_top_k=5, mode='auto',
+                 period=1):
+        self.dirpath = os.path.dirname(filepath) or '.'
+        self.filename_tpl = os.path.basename(filepath) or 'model_{epoch:02d}'
+        self.monitor = monitor
+        self.save_top_k = save_top_k
+        self.period = period
+        self.epochs_since_last = 0
+        self.best_k_models = {}
+        if mode == 'auto':
+            # metric-name heuristic (reference: model_checkpoint.py:44-54)
+            mode = 'max' if any(k in monitor for k in ['a1', 'a2', 'a3']) \
+                else 'min'
+        self.mode = mode
+
+    def _better(self, a, b):
+        return a > b if self.mode == 'max' else a < b
+
+    def _format_name(self, epoch, metrics):
+        name = self.filename_tpl
+        values = {'epoch': epoch, **{k: float(v) for k, v in metrics.items()}}
+        # '{epoch:02d}_{abs_rel:.3f}'-style templating
+        try:
+            name = name.format(**values)
+        except (KeyError, IndexError):
+            name = 'epoch_{:02d}'.format(epoch)
+        return name + '.ckpt'
+
+    def check_and_save(self, config, state, metrics, epoch):
+        """Save if due and keep only the top-k by the monitored metric."""
+        self.epochs_since_last += 1
+        if self.epochs_since_last < self.period:
+            return None
+        self.epochs_since_last = 0
+        current = float(metrics.get(self.monitor, metrics.get('loss', 0.0)))
+        path = os.path.join(self.dirpath, self._format_name(epoch, metrics))
+        save_checkpoint(path, config, state, epoch)
+        self.best_k_models[path] = current
+        if self.save_top_k > 0 and len(self.best_k_models) > self.save_top_k:
+            worst = max(self.best_k_models,
+                        key=lambda p: self.best_k_models[p]) \
+                if self.mode == 'min' else \
+                min(self.best_k_models, key=lambda p: self.best_k_models[p])
+            self.best_k_models.pop(worst)
+            if os.path.exists(worst):
+                os.remove(worst)
+        return path
