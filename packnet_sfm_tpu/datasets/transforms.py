@@ -1,0 +1,318 @@
+"""
+Sample transform pipeline (host-side numpy, HWC float32 in [0,1]).
+
+Reference semantics (datasets/transforms.py:21-171, datasets/augmentations.py,
+utils/misc.py:77-146):
+- train: crop borders -> resize (scaling K / fisheye ux,uy) -> duplicate
+  originals -> color jitter -> (tensors)
+- val/test: crop -> resize rgb (+ depth: sparse-preserving scatter for input
+  depth, nearest for eval depth on test)
+- parse_crop_borders: negative = from opposite border, float = centered
+  percentage
+- resize_depth_preserve scatters valid points instead of interpolating
+  (augmentations.py:58-100)
+
+RGB resize uses PIL LANCZOS to match the reference's pixel values.
+"""
+
+import numpy as np
+from PIL import Image
+
+
+def _is_int(x):
+    return isinstance(x, (int, np.integer))
+
+
+def parse_crop_borders(borders, shape):
+    """(left, top, right, bottom) from the reference's border mini-language
+    (utils/misc.py:77-146)."""
+    if len(borders) == 0:
+        return 0, 0, shape[1], shape[0]
+    borders = list(borders).copy()
+    if len(borders) == 4:
+        borders = [borders[2], borders[0], borders[3], borders[1]]
+        if _is_int(borders[0]):
+            borders[0] += shape[1] if borders[0] < 0 else 0
+            borders[2] += shape[1] if borders[2] <= 0 else borders[0]
+        else:
+            center_w, half_w = borders[0] * shape[1], borders[2] / 2
+            borders[0] = int(center_w - half_w)
+            borders[2] = int(center_w + half_w)
+        if _is_int(borders[1]):
+            borders[1] += shape[0] if borders[1] < 0 else 0
+            borders[3] += shape[0] if borders[3] <= 0 else borders[1]
+        else:
+            center_h, half_h = borders[1] * shape[0], borders[3] / 2
+            borders[1] = int(center_h - half_h)
+            borders[3] = int(center_h + half_h)
+    elif len(borders) == 2:
+        borders = [borders[1], borders[0]]
+        if _is_int(borders[0]):
+            borders = (max(0, borders[0]), max(0, borders[1]),
+                       shape[1] + min(0, borders[0]),
+                       shape[0] + min(0, borders[1]))
+        else:
+            center_w, half_w = borders[0] * shape[1], borders[1] / 2
+            center_h, half_h = borders[0] * shape[0], borders[1] / 2
+            borders = (int(center_w - half_w), int(center_h - half_h),
+                       int(center_w + half_w), int(center_h + half_h))
+    else:
+        raise NotImplementedError('Crop tuple must have 2 or 4 values.')
+    assert 0 <= borders[0] < borders[2] <= shape[1] and \
+           0 <= borders[1] < borders[3] <= shape[0], \
+           'Crop borders {} are invalid'.format(borders)
+    return tuple(borders)
+
+
+########################################################################################################################
+# Primitive ops
+
+
+def resize_image(image, shape):
+    """LANCZOS resize of an [H,W,3] float image to (H',W')."""
+    pil = Image.fromarray(np.clip(image * 255, 0, 255).astype(np.uint8))
+    pil = pil.resize((shape[1], shape[0]), Image.LANCZOS)
+    return np.asarray(pil, np.float32) / 255.0
+
+
+def resize_depth(depth, shape):
+    """Nearest-neighbor depth resize [h,w(,1)] -> [H,W,1]."""
+    d = np.squeeze(depth)
+    h, w = d.shape
+    ys = np.floor(np.arange(shape[0]) * (h / shape[0])).astype(int)
+    xs = np.floor(np.arange(shape[1]) * (w / shape[1])).astype(int)
+    return d[ys][:, xs][..., None].astype(np.float32)
+
+
+def resize_depth_preserve(depth, shape):
+    """Scatter valid depth points into the resized map (no interpolation)."""
+    if depth is None:
+        return depth
+    d = np.squeeze(depth)
+    h, w = d.shape
+    x = d.reshape(-1)
+    uv = np.mgrid[:h, :w].transpose(1, 2, 0).reshape(-1, 2)
+    idx = x > 0
+    crd, val = uv[idx], x[idx]
+    crd = crd.astype(np.float64)
+    crd[:, 0] = (crd[:, 0] * (shape[0] / h)).astype(np.int32)
+    crd[:, 1] = (crd[:, 1] * (shape[1] / w)).astype(np.int32)
+    crd = crd.astype(np.int32)
+    inside = (crd[:, 0] < shape[0]) & (crd[:, 1] < shape[1])
+    crd, val = crd[inside], val[inside]
+    out = np.zeros(shape, np.float32)
+    out[crd[:, 0], crd[:, 1]] = val
+    return out[..., None]
+
+
+def _scale_intrinsics_np(K, sx, sy):
+    K = np.copy(K)
+    K[0, 0] *= sx
+    K[1, 1] *= sy
+    K[0, 2] *= sx
+    K[1, 2] *= sy
+    return K
+
+
+def crop_sample(sample, borders):
+    """Crop images, depths and intrinsics (train path)."""
+    left, top, right, bottom = borders
+    for key in ('rgb', 'rgb_original'):
+        if key in sample:
+            sample[key] = sample[key][top:bottom, left:right]
+    for key in ('rgb_context', 'rgb_context_original'):
+        if key in sample:
+            sample[key] = [im[top:bottom, left:right] for im in sample[key]]
+    for key in ('depth', 'input_depth', 'mask'):
+        if key in sample and sample[key] is not None:
+            sample[key] = sample[key][top:bottom, left:right]
+    if 'intrinsics' in sample and np.asarray(sample['intrinsics']).shape == (3, 3):
+        K = np.copy(sample['intrinsics'])
+        K[0, 2] -= left
+        K[1, 2] -= top
+        sample['intrinsics'] = K
+    if 'distortion_coeffs' in sample:
+        dc = dict(sample['distortion_coeffs'])
+        dc['ux'] = dc['ux'] - left
+        dc['uy'] = dc['uy'] - top
+        sample['distortion_coeffs'] = dc
+    return sample
+
+
+def crop_sample_input(sample, borders):
+    """Crop only the model inputs, leaving eval GT depth full-size."""
+    keep_depth = sample.pop('depth', None)
+    sample = crop_sample(sample, borders)
+    if keep_depth is not None:
+        sample['depth'] = keep_depth
+    return sample
+
+
+def resize_sample(sample, shape):
+    """Resize images + intrinsics + depths (train path)."""
+    h, w = sample['rgb'].shape[:2]
+    sx, sy = shape[1] / w, shape[0] / h
+    if 'intrinsics' in sample and np.asarray(sample['intrinsics']).shape == (3, 3):
+        sample['intrinsics'] = _scale_intrinsics_np(
+            np.asarray(sample['intrinsics'], np.float32), sx, sy)
+    if 'distortion_coeffs' in sample:
+        dc = dict(sample['distortion_coeffs'])
+        dc['ux'] = dc['ux'] * sx
+        dc['uy'] = dc['uy'] * sy
+        sample['distortion_coeffs'] = dc
+    for key in ('rgb', 'rgb_original'):
+        if key in sample:
+            sample[key] = resize_image(sample[key], shape)
+    for key in ('rgb_context', 'rgb_context_original'):
+        if key in sample:
+            sample[key] = [resize_image(im, shape) for im in sample[key]]
+    for key in ('depth', 'input_depth'):
+        if key in sample and sample[key] is not None:
+            sample[key] = resize_depth_preserve(sample[key], shape)
+    if 'mask' in sample and sample['mask'] is not None:
+        sample['mask'] = resize_depth(sample['mask'], shape)
+    return sample
+
+
+def duplicate_sample(sample):
+    """Keep un-jittered originals for the photometric loss."""
+    sample['rgb_original'] = sample['rgb'].copy()
+    if 'rgb_context' in sample:
+        sample['rgb_context_original'] = [im.copy()
+                                          for im in sample['rgb_context']]
+    return sample
+
+
+########################################################################################################################
+# Color jitter (torchvision ColorJitter-equivalent factors, fixed order)
+
+
+def _adjust_brightness(img, f):
+    return np.clip(img * f, 0, 1)
+
+
+def _adjust_contrast(img, f):
+    mean = img.mean(axis=(0, 1), keepdims=True).mean()
+    return np.clip((img - mean) * f + mean, 0, 1)
+
+
+def _adjust_saturation(img, f):
+    gray = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2])[..., None]
+    return np.clip((img - gray) * f + gray, 0, 1)
+
+
+def _adjust_hue(img, f):
+    import colorsys  # noqa: F401 (documented fallback)
+    # cheap HSV hue rotation
+    maxc = img.max(axis=-1)
+    minc = img.min(axis=-1)
+    v = maxc
+    s = np.where(maxc > 0, (maxc - minc) / np.maximum(maxc, 1e-8), 0)
+    rc = np.where(maxc > minc, (maxc - img[..., 0]) / np.maximum(maxc - minc, 1e-8), 0)
+    gc = np.where(maxc > minc, (maxc - img[..., 1]) / np.maximum(maxc - minc, 1e-8), 0)
+    bc = np.where(maxc > minc, (maxc - img[..., 2]) / np.maximum(maxc - minc, 1e-8), 0)
+    h = np.where(img[..., 0] == maxc, bc - gc,
+                 np.where(img[..., 1] == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = (h + f) % 1.0
+    i = np.floor(h * 6.0)
+    fr = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - s * fr)
+    t = v * (1 - s * (1 - fr))
+    i = i.astype(int) % 6
+    conds = [i == k for k in range(6)]
+    r = np.select(conds, [v, q, p, p, t, v])
+    g = np.select(conds, [t, v, v, q, p, p])
+    b = np.select(conds, [p, p, t, v, v, q])
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 1).astype(np.float32)
+
+
+def colorjitter_sample(sample, parameters, rng=None):
+    """Apply the SAME random jitter to target + context (reference parity)."""
+    rng = rng or np.random
+    b, c, s, h = parameters
+    fb = rng.uniform(max(0, 1 - b), 1 + b)
+    fc = rng.uniform(max(0, 1 - c), 1 + c)
+    fs = rng.uniform(max(0, 1 - s), 1 + s)
+    fh = rng.uniform(-h, h)
+
+    def jitter(img):
+        img = _adjust_brightness(img, fb)
+        img = _adjust_contrast(img, fc)
+        img = _adjust_saturation(img, fs)
+        if h > 0:
+            img = _adjust_hue(img, fh)
+        return img.astype(np.float32)
+
+    sample['rgb'] = jitter(sample['rgb'])
+    if 'rgb_context' in sample:
+        sample['rgb_context'] = [jitter(im) for im in sample['rgb_context']]
+    return sample
+
+
+########################################################################################################################
+# Split pipelines (reference: datasets/transforms.py:21-105)
+
+
+def train_transforms(sample, image_shape=(), jittering=(),
+                     crop_train_borders=(), rng=None):
+    if len(crop_train_borders) > 0:
+        borders = parse_crop_borders(crop_train_borders,
+                                     sample['rgb'].shape[:2])
+        sample = crop_sample(sample, borders)
+    if len(image_shape) > 0:
+        sample = resize_sample(sample, tuple(image_shape))
+    sample = duplicate_sample(sample)
+    if len(jittering) > 0:
+        sample = colorjitter_sample(sample, jittering, rng)
+    return sample
+
+
+def validation_transforms(sample, image_shape=(), crop_eval_borders=()):
+    if len(crop_eval_borders) > 0:
+        borders = parse_crop_borders(crop_eval_borders,
+                                     sample['rgb'].shape[:2])
+        sample = crop_sample_input(sample, borders)
+    if len(image_shape) > 0:
+        shape = tuple(image_shape)
+        sample['rgb'] = resize_image(sample['rgb'], shape)
+        if 'rgb_context' in sample:
+            sample['rgb_context'] = [resize_image(im, shape)
+                                     for im in sample['rgb_context']]
+        if 'input_depth' in sample:
+            sample['input_depth'] = resize_depth_preserve(
+                sample['input_depth'], shape)
+        if 'mask' in sample and sample['mask'] is not None:
+            sample['mask'] = resize_depth(sample['mask'], shape)
+    return sample
+
+
+def test_transforms(sample, image_shape=(), crop_eval_borders=()):
+    if len(crop_eval_borders) > 0:
+        borders = parse_crop_borders(crop_eval_borders,
+                                     sample['rgb'].shape[:2])
+        sample = crop_sample_input(sample, borders)
+    if len(image_shape) > 0:
+        shape = tuple(image_shape)
+        sample['rgb'] = resize_image(sample['rgb'], shape)
+        if 'rgb_context' in sample:
+            sample['rgb_context'] = [resize_image(im, shape)
+                                     for im in sample['rgb_context']]
+        if 'input_depth' in sample:
+            sample['input_depth'] = resize_depth(sample['input_depth'], shape)
+    return sample
+
+
+def get_transforms(mode, image_shape=(), jittering=(), crop_train_borders=(),
+                   crop_eval_borders=(), **kwargs):
+    if mode == 'train':
+        return lambda s: train_transforms(s, image_shape, jittering,
+                                          crop_train_borders)
+    if mode == 'validation':
+        return lambda s: validation_transforms(s, image_shape,
+                                               crop_eval_borders)
+    if mode == 'test':
+        return lambda s: test_transforms(s, image_shape, crop_eval_borders)
+    raise ValueError('Unknown transform mode {}'.format(mode))

@@ -1,0 +1,279 @@
+"""
+Trainer: epoch loop, validation, checkpointing, mid-epoch quick eval.
+
+TPU re-design of the reference trainer stack (reference:
+trainers/base_trainer.py:42-97, trainers/horovod_trainer.py:46-381,
+models/model_wrapper.py — orchestration collapsed into one place):
+
+- fit() = epoch loop {train_with_eval -> validate -> eval-JSON dump ->
+  checkpoint.check_and_save} (horovod_trainer.py:118-125)
+- the hot loop is ONE jitted step (fwd+loss+bwd+update); sample_to_cuda's
+  role is played by shard_batch (H2D with batch-dim sharding)
+- mid-epoch quick eval every `eval_progress_interval` fraction of batches on
+  `eval_subset_size` samples, reporting RGB vs RGB+LiDAR abs_rel
+  (horovod_trainer.py:127-220,239-262)
+- non-finite-loss guard is inside the jitted step (no host sync)
+- per-epoch eval results JSON to <ckpt>/evaluation_results/
+  (horovod_trainer.py:368-381)
+- evaluation protocol: 7 metrics x 6 modes (linear/log sigmoid conversion,
+  with/without GT median scaling) (model_wrapper.py:59-62,621-790)
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from packnet_sfm_tpu.models import setup_model
+from packnet_sfm_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate_state, rank)
+from packnet_sfm_tpu.parallel.train_step import (
+    make_optimizer, make_train_step, make_eval_step, init_state, TrainState)
+from packnet_sfm_tpu.ops.depth import (
+    sigmoid_to_inv_depth, inv2depth, compute_depth_metrics,
+    dual_head_to_depth, post_process_inv_depth)
+from packnet_sfm_tpu.utils.checkpoint import (
+    ModelCheckpoint, save_checkpoint, load_checkpoint)
+from packnet_sfm_tpu.utils.logging_utils import (
+    print_metrics_table, METRIC_NAMES, pcolor)
+from packnet_sfm_tpu.datasets import setup_dataset
+from packnet_sfm_tpu.datasets.loader import DataLoader
+
+
+def _to_device_batch(batch, mesh):
+    batch = {k: v for k, v in batch.items()
+             if k not in ('idx', 'filename', 'rgb_path')}
+    return shard_batch(batch, mesh)
+
+
+class Trainer:
+    def __init__(self, config, resume_state=None, logger=None):
+        self.config = config
+        self.resume_state = resume_state
+        self.logger = logger
+        self.min_epochs = config.arch.min_epochs
+        self.max_epochs = config.arch.max_epochs
+        self.validate_first = config.arch.validate_first
+        self.mesh = make_mesh(tuple(config.tpu.mesh_shape),
+                              tuple(config.tpu.mesh_axes))
+        self.model = setup_model(config)
+        self.checkpoint_cb = None
+        if config.checkpoint.filepath:
+            self.checkpoint_cb = ModelCheckpoint(
+                config.checkpoint.filepath,
+                monitor=config.checkpoint.monitor,
+                save_top_k=config.checkpoint.save_top_k,
+                mode=config.checkpoint.mode,
+                period=config.checkpoint.period)
+        self.current_epoch = 0
+        self.state = None
+
+    # ------------------------------------------------------------------ data
+    def _make_loader(self, split):
+        cfg = self.config.datasets[split]
+        datasets = setup_dataset(cfg, self.config.datasets.augmentation,
+                                 split)
+        if not datasets:
+            return None
+        from packnet_sfm_tpu.datasets.concat import ConcatDataset
+        repeats = cfg.get('repeat', [1] * len(datasets))
+        ds = ConcatDataset(datasets, repeats) if len(datasets) > 1 or \
+            (repeats and repeats[0] > 1) else datasets[0]
+        return DataLoader(
+            ds, batch_size=cfg.batch_size, shuffle=(split == 'train'),
+            seed=self.config.arch.seed, num_workers=cfg.num_workers,
+            shard_index=jax.process_index(), num_shards=jax.process_count())
+
+    # ----------------------------------------------------------------- setup
+    def setup(self, example_batch):
+        steps_per_epoch = max(1, getattr(self, '_steps_per_epoch', 100))
+        self.optimizer = make_optimizer(
+            self.config.model.optimizer, self.config.model.scheduler,
+            steps_per_epoch, clip_grad=self.config.arch.clip_grad)
+        rng = jax.random.PRNGKey(self.config.arch.seed)
+        self.state = init_state(self.model, self.optimizer, example_batch, rng)
+        if self.resume_state is not None:
+            self.state = self.state.replace(
+                params=jax.tree_util.tree_map(
+                    jnp.asarray, self.resume_state['params']),
+                batch_stats=jax.tree_util.tree_map(
+                    jnp.asarray, self.resume_state['batch_stats']),
+                opt_state=jax.tree_util.tree_map(
+                    jnp.asarray, self.resume_state['opt_state']),
+                epoch=jnp.asarray(self.resume_state['epoch'], jnp.int32),
+                step=jnp.asarray(self.resume_state['step'], jnp.int32))
+            self.current_epoch = int(self.resume_state['epoch'])
+        self.state = replicate_state(self.state, self.mesh)
+        self.train_step = make_train_step(
+            self.model, self.optimizer, mesh=self.mesh,
+            donate=self.config.tpu.donate_buffers)
+        self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+
+    # ------------------------------------------------------------------- fit
+    def fit(self):
+        train_loader = self._make_loader('train')
+        val_loader = self._make_loader('validation')
+        assert train_loader is not None, 'No training dataset configured'
+        self._steps_per_epoch = len(train_loader)
+
+        first = next(iter(train_loader))
+        example = _to_device_batch(first, self.mesh)
+        self.setup(example)
+
+        if self.validate_first and val_loader is not None:
+            self.validate(val_loader)
+
+        for epoch in range(self.current_epoch, self.max_epochs):
+            self.current_epoch = epoch
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            train_metrics = self.train_epoch(train_loader, val_loader, epoch)
+            dt = time.time() - t0
+            n_img = len(train_loader) * train_loader.batch_size
+            print(pcolor(
+                'Epoch {:d} | loss {:.4f} | {:.1f} img/s'.format(
+                    epoch, train_metrics.get('loss', float('nan')),
+                    n_img / max(dt, 1e-6)), 'green'))
+            val_metrics = {}
+            if val_loader is not None:
+                val_metrics = self.validate(val_loader)
+                self._dump_eval_json(epoch, val_metrics)
+            if self.checkpoint_cb is not None and rank() == 0:
+                host_state = jax.device_get(self.state)
+                self.checkpoint_cb.check_and_save(
+                    self.config, host_state,
+                    {**train_metrics, **val_metrics}, epoch)
+        return self.state
+
+    # ----------------------------------------------------------- train epoch
+    def train_epoch(self, loader, val_loader, epoch):
+        n = len(loader)
+        eval_every = max(1, int(n * self.config.arch.eval_progress_interval)) \
+            if self.config.arch.eval_during_training else None
+        losses = []
+        rng = jax.random.PRNGKey(self.config.arch.seed * 1000 + epoch)
+        self.state = self.state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+        for i, batch in enumerate(loader):
+            progress = (epoch + i / n) / max(self.max_epochs, 1)
+            batch = _to_device_batch(batch, self.mesh)
+            rng, sub = jax.random.split(rng)
+            self.state, metrics = self.train_step(self.state, batch, sub,
+                                                  progress)
+            losses.append(metrics['loss'])
+            if eval_every and val_loader is not None and i > 0 and \
+                    i % eval_every == 0:
+                self.quick_eval(val_loader, i, n)
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        return {'loss': mean_loss}
+
+    # ------------------------------------------------------------ quick eval
+    def quick_eval(self, val_loader, step_i, steps):
+        """Mid-epoch subset eval printing RGB vs RGB+LiDAR abs_rel
+        (reference: horovod_trainer.py:127-220)."""
+        subset = self.config.arch.eval_subset_size
+        seen, abs_rel_rgb, abs_rel_rgbd = 0, [], []
+        params = self.config.model.params
+        for batch in val_loader:
+            if seen >= subset:
+                break
+            dev = _to_device_batch(batch, self.mesh)
+            has_lidar = 'input_depth' in dev
+            out = self.eval_step(self.state, dev)
+            if 'depth' not in dev:
+                break
+            m = self._metrics_for_output(out, dev, use_gt_scale=False)
+            abs_rel_rgbd.append(m['depth'][0] if has_lidar else None)
+            if has_lidar:
+                dev_rgb = {k: v for k, v in dev.items() if k != 'input_depth'}
+                out_rgb = self.eval_step(self.state, dev_rgb)
+                m_rgb = self._metrics_for_output(out_rgb, dev_rgb,
+                                                 use_gt_scale=False)
+                abs_rel_rgb.append(m_rgb['depth'][0])
+            else:
+                abs_rel_rgb.append(m['depth'][0])
+            seen += dev['rgb'].shape[0]
+        if abs_rel_rgb:
+            msg = '  [eval @ {}/{}] abs_rel RGB {:.4f}'.format(
+                step_i, steps, float(np.mean([float(x) for x in abs_rel_rgb])))
+            vals = [float(x) for x in abs_rel_rgbd if x is not None]
+            if vals:
+                msg += ' | RGB+LiDAR {:.4f}'.format(float(np.mean(vals)))
+            print(pcolor(msg, 'yellow'))
+
+    # ------------------------------------------------------------ validation
+    def _metrics_for_output(self, output, batch, use_gt_scale=True):
+        """7 metrics per conversion mode (model_wrapper.py:621-790)."""
+        params = self.config.model.params
+        gt = batch['depth']
+        modes = {}
+        if 'inv_depths' in output:
+            sig = output['inv_depths'][0]
+            inv_lin = sigmoid_to_inv_depth(sig, params.min_depth,
+                                           params.max_depth, False)
+            inv_log = sigmoid_to_inv_depth(sig, params.min_depth,
+                                           params.max_depth, True)
+            depth_lin = inv2depth(inv_lin)
+            depth_log = inv2depth(inv_log)
+            main = depth_log if params.use_log_space else depth_lin
+            cand = {'depth': main, 'depth_lin': depth_lin,
+                    'depth_log': depth_log}
+        else:
+            depth = dual_head_to_depth(output[('integer', 0)],
+                                       output[('fractional', 0)],
+                                       params.max_depth)
+            cand = {'depth': depth}
+        for name, pred in cand.items():
+            modes[name] = compute_depth_metrics(
+                gt, pred, params.min_depth, params.max_depth,
+                crop=params.crop, scale_output=params.scale_output,
+                use_gt_scale=False)
+            if use_gt_scale:
+                modes[name + '_gt'] = compute_depth_metrics(
+                    gt, pred, params.min_depth, params.max_depth,
+                    crop=params.crop, scale_output=params.scale_output,
+                    use_gt_scale=True)
+        return modes
+
+    def validate(self, loader):
+        accum, count = {}, 0
+        for batch in loader:
+            dev = _to_device_batch(batch, self.mesh)
+            if 'depth' not in dev:
+                continue
+            out = self.eval_step(self.state, dev)
+            modes = self._metrics_for_output(out, dev)
+            b = dev['rgb'].shape[0]
+            for k, v in modes.items():
+                accum[k] = accum.get(k, 0.0) + np.asarray(v) * b
+            count += b
+        if not count:
+            return {}
+        table = {k: v / count for k, v in accum.items()}
+        print_metrics_table('Validation epoch {}'.format(self.current_epoch),
+                            table)
+        flat = {}
+        for mode, vals in table.items():
+            for name, val in zip(METRIC_NAMES, vals):
+                flat['{}-{}'.format(mode, name)] = float(val)
+        flat['abs_rel'] = flat.get('depth-abs_rel', 0.0)
+        return flat
+
+    def test(self, loader=None):
+        loader = loader or self._make_loader('test')
+        if loader is None:
+            return {}
+        return self.validate(loader)
+
+    # --------------------------------------------------------------- helpers
+    def _dump_eval_json(self, epoch, metrics):
+        if not self.config.checkpoint.filepath or rank() != 0:
+            return
+        out_dir = os.path.join(os.path.dirname(self.config.checkpoint.filepath),
+                               'evaluation_results')
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir,
+                               'epoch_{}_results.json'.format(epoch)), 'w') as f:
+            json.dump(metrics, f, indent=2)

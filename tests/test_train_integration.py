@@ -1,0 +1,119 @@
+"""
+Integration: jitted train step, overfit convergence, 8-device data-parallel
+training on the forced-CPU mesh (the reference's smoke-test role of
+overfit_kitti.yaml — SURVEY.md §4), and checkpoint round-trip.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from packnet_sfm_tpu.config import get_cfg_defaults
+from packnet_sfm_tpu.models import setup_model
+from packnet_sfm_tpu.parallel.mesh import make_mesh, shard_batch, replicate_state
+from packnet_sfm_tpu.parallel.train_step import (
+    make_optimizer, make_train_step, make_eval_step, init_state)
+from packnet_sfm_tpu.datasets.synthetic import SyntheticDataset
+from packnet_sfm_tpu.datasets.loader import DataLoader
+from packnet_sfm_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+
+def small_cfg():
+    cfg = get_cfg_defaults()
+    cfg.model.name = 'SemiSupCompletionModel'
+    cfg.model.depth_net.name = 'ResNetSAN01'
+    cfg.model.depth_net.version = '18A'
+    cfg.model.pose_net.name = 'PoseNet'
+    cfg.model.params.min_depth = 0.5
+    cfg.model.params.max_depth = 15.0
+    cfg.model.loss.supervised_method = 'sparse-l1'
+    cfg.model.loss.supervised_loss_weight = 0.9
+    cfg.model.loss.smooth_loss_weight = 0.001
+    return cfg
+
+
+def to_jnp(batch):
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, batch)
+
+
+def test_overfit_loss_decreases():
+    """Loss must drop substantially when overfitting a tiny fixed batch."""
+    cfg = small_cfg()
+    model = setup_model(cfg)
+    ds = SyntheticDataset(num_samples=2, height=32, width=64)
+    loader = DataLoader(ds, batch_size=2, num_workers=1)
+    batch = to_jnp(next(iter(loader)))
+    batch.pop('idx')
+
+    optimizer = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
+                               steps_per_epoch=100)
+    state = init_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer, donate=False)
+
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i), 0.0)
+        losses.append(float(metrics['loss']))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_data_parallel_8devices_matches_semantics():
+    """DP on the 8-CPU mesh: runs, stays finite, and state stays replicated."""
+    assert len(jax.devices()) == 8
+    cfg = small_cfg()
+    model = setup_model(cfg)
+    ds = SyntheticDataset(num_samples=8, height=32, width=64)
+    loader = DataLoader(ds, batch_size=8, num_workers=2)
+    batch = to_jnp(next(iter(loader)))
+    batch.pop('idx')
+
+    mesh = make_mesh()
+    optimizer = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, 10)
+    state = init_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    state = replicate_state(state, mesh)
+    sharded = shard_batch(batch, mesh)
+    step = make_train_step(model, optimizer, mesh=mesh, donate=False)
+    state2, metrics = step(state, sharded, jax.random.PRNGKey(1), 0.0)
+    assert np.isfinite(float(metrics['loss']))
+    # params remain replicated (no silent resharding)
+    leaf = jax.tree_util.tree_leaves(state2.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = small_cfg()
+    model = setup_model(cfg)
+    ds = SyntheticDataset(num_samples=2, height=32, width=64)
+    batch = to_jnp(next(iter(DataLoader(ds, batch_size=2, num_workers=1))))
+    batch.pop('idx')
+    optimizer = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, 10)
+    state = init_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer, donate=False)
+    state, _ = step(state, batch, jax.random.PRNGKey(1), 0.0)
+
+    path = str(tmp_path / 'test.ckpt')
+    save_checkpoint(path, cfg, state, epoch=3)
+    payload = load_checkpoint(path)
+    assert payload['epoch'] == 3
+    assert payload['config']['model']['name'] == 'SemiSupCompletionModel'
+    # params round-trip exactly
+    orig = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    rest = jax.tree_util.tree_leaves(payload['params'])
+    for a, b in zip(orig, rest):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_step():
+    cfg = small_cfg()
+    model = setup_model(cfg)
+    ds = SyntheticDataset(num_samples=2, height=32, width=64)
+    batch = to_jnp(next(iter(DataLoader(ds, batch_size=2, num_workers=1))))
+    batch.pop('idx')
+    optimizer = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, 10)
+    state = init_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    out = make_eval_step(model)(state, batch)
+    assert out['inv_depths'][0].shape == (2, 32, 64, 1)
