@@ -1,0 +1,190 @@
+"""Dataset reader tests over synthetic on-disk fixture trees."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from packnet_sfm_tpu.datasets.kitti import KITTIDataset
+from packnet_sfm_tpu.datasets.ncdb import NcdbDataset
+from packnet_sfm_tpu.datasets.transforms import (
+    get_transforms, parse_crop_borders, resize_depth_preserve)
+from packnet_sfm_tpu.datasets.loader import DataLoader, default_collate
+from packnet_sfm_tpu.datasets.synthetic import SyntheticDataset
+
+H, W = 32, 48
+
+
+def write_png(path, arr):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+def make_kitti_tree(root):
+    drive = os.path.join(root, '2011_09_26', '2011_09_26_drive_0001_sync')
+    date_dir = os.path.join(root, '2011_09_26')
+    rng = np.random.RandomState(0)
+    names = []
+    for i in range(4):
+        name = '{:010d}.png'.format(i)
+        img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        write_png(os.path.join(drive, 'image_02', 'data', name), img)
+        depth = (rng.rand(H, W) * 20 * 256).astype(np.uint16)
+        write_png(os.path.join(drive, 'proj_depth', 'groundtruth',
+                               'image_02', name), depth)
+        np.savez(_mk(os.path.join(drive, 'proj_depth', 'velodyne', 'image_02'),
+                     name.replace('.png', '.npz')),
+                 velodyne_depth=(rng.rand(H, W) * 20).astype(np.float32))
+        # oxts: lat lon alt roll pitch yaw (+ padding)
+        oxts_dir = os.path.join(drive, 'oxts', 'data')
+        os.makedirs(oxts_dir, exist_ok=True)
+        vals = [49.0 + i * 1e-6, 8.43 + i * 1e-6, 112.0, 0.01, 0.02,
+                0.5 + 0.001 * i] + [0.0] * 24
+        np.savetxt(os.path.join(oxts_dir, name.replace('.png', '.txt')),
+                   np.asarray(vals)[None], delimiter=' ')
+        names.append(name)
+    # calib files
+    P = np.array([W, 0, W / 2, 0, 0, W, H / 2, 0, 0, 0, 1, 0], float)
+    with open(os.path.join(date_dir, 'calib_cam_to_cam.txt'), 'w') as f:
+        f.write('P_rect_02: ' + ' '.join(map(str, P)) + '\n')
+        f.write('R_rect_00: ' + ' '.join(map(str, np.eye(3).ravel())) + '\n')
+    for fn, (Rv, tv) in [('calib_velo_to_cam.txt', (np.eye(3), np.zeros(3))),
+                         ('calib_imu_to_velo.txt', (np.eye(3), np.zeros(3)))]:
+        with open(os.path.join(date_dir, fn), 'w') as f:
+            f.write('R: ' + ' '.join(map(str, Rv.ravel())) + '\n')
+            f.write('T: ' + ' '.join(map(str, tv.ravel())) + '\n')
+    rel = ['2011_09_26/2011_09_26_drive_0001_sync/image_02/data/' + n
+           for n in names]
+    with open(os.path.join(root, 'split.txt'), 'w') as f:
+        f.write('\n'.join(rel))
+    return root
+
+
+def _mk(d, name):
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
+
+@pytest.fixture
+def kitti_root(tmp_path):
+    return make_kitti_tree(str(tmp_path))
+
+
+def test_kitti_reader_basic(kitti_root):
+    ds = KITTIDataset(path=kitti_root, split='split.txt',
+                      depth_type='groundtruth', back_context=1,
+                      forward_context=1, with_pose=True)
+    assert len(ds) == 2  # frames 1..2 have full context
+    s = ds[0]
+    assert s['rgb'].shape == (H, W, 3)
+    assert s['depth'].shape == (H, W, 1)
+    assert len(s['rgb_context']) == 2
+    assert s['intrinsics'].shape == (3, 3)
+    assert s['pose'].shape == (4, 4)
+    assert len(s['pose_context']) == 2
+    # relative context poses should be near identity (tiny motion)
+    np.testing.assert_allclose(s['pose_context'][0], np.eye(4), atol=0.5)
+
+
+def test_kitti_velodyne_npz(kitti_root):
+    ds = KITTIDataset(path=kitti_root, split='split.txt',
+                      depth_type='velodyne')
+    s = ds[0]
+    assert s['depth'].shape == (H, W, 1)
+
+
+def test_kitti_with_transform(kitti_root):
+    tf = get_transforms('train', image_shape=(16, 24),
+                        jittering=(0.2, 0.2, 0.2, 0.05))
+    ds = KITTIDataset(path=kitti_root, split='split.txt',
+                      depth_type='groundtruth', back_context=1,
+                      forward_context=1, transform=tf)
+    s = ds[0]
+    assert s['rgb'].shape == (16, 24, 3)
+    assert s['rgb_original'].shape == (16, 24, 3)
+    assert s['depth'].shape == (16, 24, 1)
+    # intrinsics rescaled
+    assert abs(s['intrinsics'][0, 0] - W * (24 / W)) < 1e-4
+
+
+def make_ncdb_tree(root):
+    rng = np.random.RandomState(1)
+    sd = os.path.join(root, 'synced_data')
+    entries = []
+    for i in range(3):
+        stem = 'frame_{:04d}'.format(i)
+        img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        write_png(os.path.join(sd, 'image_a6', stem + '.png'), img)
+        depth = (rng.rand(H, W) * 12 * 256).astype(np.uint16)
+        write_png(os.path.join(sd, 'newest_original_depth_maps',
+                               stem + '.png'), depth)
+        entries.append({'dataset_root': 'synced_data', 'new_filename': stem})
+    with open(os.path.join(root, 'split.json'), 'w') as f:
+        json.dump(entries, f)
+    return root
+
+
+@pytest.fixture
+def ncdb_root(tmp_path):
+    return make_ncdb_tree(str(tmp_path))
+
+
+def test_ncdb_reader(ncdb_root):
+    ds = NcdbDataset(path=ncdb_root, split='split.json',
+                     depth_type='depth_original', min_depth=0.5,
+                     max_depth=15.0)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s['rgb'].shape == (H, W, 3)
+    assert s['depth'].shape == (H, W, 1)
+    d = s['depth']
+    valid = d[d > 0]
+    assert valid.size == 0 or (valid >= 0.5).all() and (valid <= 15.0).all()
+    assert s['distortion_coeffs']['k'].shape == (7,)
+    assert float(s['distortion_coeffs']['ux']) == pytest.approx(44.9516)
+
+
+def test_ncdb_image_path_split(ncdb_root):
+    entries = [{'image_path': os.path.join(
+        ncdb_root, 'synced_data', 'image_a6', 'frame_0001.png')}]
+    p = os.path.join(ncdb_root, 'split2.json')
+    with open(p, 'w') as f:
+        json.dump(entries, f)
+    ds = NcdbDataset(path=ncdb_root, split='split2.json')
+    assert len(ds) == 1
+    assert ds[0]['filename'] == 'frame_0001'
+
+
+def test_parse_crop_borders_kitti_san():
+    """The KITTI-SAN config's (-352, 0, 0.5, 1216) -> bottom 352 rows,
+    centered 1216 px (SURVEY.md §2.11)."""
+    borders = parse_crop_borders((-352, 0, 0.5, 1216), (375, 1242))
+    left, top, right, bottom = borders
+    assert (bottom - top) == 352 and (right - left) == 1216
+    assert top == 375 - 352
+
+
+def test_resize_depth_preserve_keeps_values():
+    d = np.zeros((20, 20), np.float32)
+    d[5, 5] = 7.0
+    d[15, 10] = 3.0
+    out = resize_depth_preserve(d, (10, 10))
+    assert out.shape == (10, 10, 1)
+    vals = sorted(out[out > 0].tolist())
+    assert vals == [3.0, 7.0]
+
+
+def test_loader_sharding():
+    ds = SyntheticDataset(num_samples=16, height=8, width=8)
+    l0 = DataLoader(ds, batch_size=2, shard_index=0, num_shards=2,
+                    num_workers=1)
+    l1 = DataLoader(ds, batch_size=2, shard_index=1, num_shards=2,
+                    num_workers=1)
+    idx0 = [b['idx'].tolist() for b in l0]
+    idx1 = [b['idx'].tolist() for b in l1]
+    flat0 = sum(idx0, [])
+    flat1 = sum(idx1, [])
+    assert set(flat0).isdisjoint(flat1)
+    assert len(flat0) == len(flat1) == 8
