@@ -1,0 +1,44 @@
+"""
+Evaluation entry point (reference: scripts/core/eval.py:27-61).
+
+Usage:
+    python scripts/eval.py --checkpoint model.ckpt [--config cfg.yaml] [--half]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description='PackNet-SfM TPU evaluation')
+    parser.add_argument('--checkpoint', type=str, required=True)
+    parser.add_argument('--config', type=str, default=None,
+                        help='optional YAML overriding the ckpt config')
+    parser.add_argument('--half', action='store_true',
+                        help='evaluate in bfloat16 (fp16-eval equivalent)')
+    return parser.parse_args()
+
+
+def test(ckpt_file, cfg_file=None, half=False):
+    from packnet_sfm_tpu.config import parse_test_file
+    from packnet_sfm_tpu.trainers.trainer import Trainer
+
+    config, state = parse_test_file(ckpt_file, cfg_file)
+    if half:
+        config.tpu.compute_dtype = 'bfloat16'
+    trainer = Trainer(config, resume_state=state)
+    loader = trainer._make_loader('test')
+    assert loader is not None, 'No test dataset configured'
+    first = next(iter(loader))
+    from packnet_sfm_tpu.trainers.trainer import _to_device_batch
+    trainer._steps_per_epoch = 1
+    trainer.setup(_to_device_batch(first, trainer.mesh))
+    return trainer.test(loader)
+
+
+if __name__ == '__main__':
+    args = parse_args()
+    test(args.checkpoint, args.config, args.half)
