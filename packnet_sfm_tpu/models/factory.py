@@ -9,11 +9,14 @@ from packnet_sfm_tpu.losses.supervised import SupervisedLoss
 from packnet_sfm_tpu.losses.dual_head import DualHeadDepthLoss
 from packnet_sfm_tpu.models.sfm import (
     SfmModel, SelfSupModel, SemiSupModel, SemiSupCompletionModel, VelSupModel)
+from packnet_sfm_tpu.models.generic import GenericSfmModel, GenericSelfSupModel
+from packnet_sfm_tpu.losses.generic_photometric import (
+    GenericMultiViewPhotometricLoss)
 
 import packnet_sfm_tpu.networks  # noqa: F401  (populates the registry)
 
 for _m in [SfmModel, SelfSupModel, SemiSupModel, SemiSupCompletionModel,
-           VelSupModel]:
+           VelSupModel, GenericSfmModel, GenericSelfSupModel]:
     register('model')(_m)
 
 
@@ -138,4 +141,17 @@ def setup_model(config, prepared=True):
         return VelSupModel(photometric_loss=photometric,
                            velocity_loss_weight=loss_cfg.velocity_loss_weight,
                            **common)
+    if name == 'GenericSelfSupModel':
+        generic = GenericMultiViewPhotometricLoss(
+            num_scales=1,
+            ssim_loss_weight=loss_cfg.ssim_loss_weight,
+            smooth_loss_weight=loss_cfg.smooth_loss_weight,
+            C1=loss_cfg.C1, C2=loss_cfg.C2,
+            photometric_reduce_op=loss_cfg.photometric_reduce_op,
+            clip_loss=loss_cfg.clip_loss,
+            padding_mode=loss_cfg.padding_mode,
+            automask_loss=loss_cfg.automask_loss)
+        return GenericSelfSupModel(generic_photometric_loss=generic, **common)
+    if name == 'GenericSfmModel':
+        return GenericSfmModel(**common)
     return lookup('model', name)(**common)

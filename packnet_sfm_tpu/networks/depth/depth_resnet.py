@@ -17,6 +17,7 @@ from packnet_sfm_tpu.ops.depth import disp_to_depth
 
 class DepthResNet(nn.Module):
     version: str = '18pt'
+    dropout: float = 0.0  # accepted for config parity; unused (reference kwargs)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
