@@ -36,6 +36,7 @@ def setup_dataset(split_cfg, augmentation_cfg, mode):
             augmentation_cfg.get('crop_train_borders', ()) or ()),
         crop_eval_borders=tuple(
             augmentation_cfg.get('crop_eval_borders', ()) or ()),
+        augmentation=augmentation_cfg,
     )
 
     datasets = []

@@ -257,7 +257,7 @@ def colorjitter_sample(sample, parameters, rng=None):
 
 
 def train_transforms(sample, image_shape=(), jittering=(),
-                     crop_train_borders=(), rng=None):
+                     crop_train_borders=(), rng=None, advanced=None):
     if len(crop_train_borders) > 0:
         borders = parse_crop_borders(crop_train_borders,
                                      sample['rgb'].shape[:2])
@@ -267,6 +267,10 @@ def train_transforms(sample, image_shape=(), jittering=(),
     sample = duplicate_sample(sample)
     if len(jittering) > 0:
         sample = colorjitter_sample(sample, jittering, rng)
+    if advanced:
+        r = rng or np.random
+        for aug in advanced:
+            sample['rgb'] = aug(sample['rgb'], r)
     return sample
 
 
@@ -306,10 +310,27 @@ def test_transforms(sample, image_shape=(), crop_eval_borders=()):
 
 
 def get_transforms(mode, image_shape=(), jittering=(), crop_train_borders=(),
-                   crop_eval_borders=(), **kwargs):
+                   crop_eval_borders=(), augmentation=None, **kwargs):
     if mode == 'train':
+        advanced = []
+        if augmentation:
+            ra = augmentation.get('randaugment', {})
+            if ra.get('enabled', False):
+                from packnet_sfm_tpu.datasets.augmentations_advanced import \
+                    RandAugment
+                advanced.append(RandAugment(ra.get('n', 2), ra.get('m', 0.5),
+                                            ra.get('prob', 0.5)))
+            re_ = augmentation.get('random_erasing', {})
+            if re_.get('enabled', False):
+                from packnet_sfm_tpu.datasets.augmentations_advanced import \
+                    RandomErasing
+                advanced.append(RandomErasing(
+                    re_.get('probability', 0.1), re_.get('sl', 0.02),
+                    re_.get('sh', 0.4), re_.get('r1', 0.3),
+                    re_.get('mean', (0.485, 0.456, 0.406))))
         return lambda s: train_transforms(s, image_shape, jittering,
-                                          crop_train_borders)
+                                          crop_train_borders,
+                                          advanced=advanced)
     if mode == 'validation':
         return lambda s: validation_transforms(s, image_shape,
                                                crop_eval_borders)

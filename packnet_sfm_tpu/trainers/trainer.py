@@ -82,9 +82,19 @@ class Trainer:
         repeats = cfg.get('repeat', [1] * len(datasets))
         ds = ConcatDataset(datasets, repeats) if len(datasets) > 1 or \
             (repeats and repeats[0] > 1) else datasets[0]
+        collate_fn = None
+        aug = self.config.datasets.augmentation
+        if split == 'train' and (aug.get('mixup', {}).get('enabled', False) or
+                                 aug.get('cutmix', {}).get('enabled', False)):
+            from packnet_sfm_tpu.datasets.augmentations_advanced import \
+                make_advanced_collate
+            from packnet_sfm_tpu.datasets.loader import default_collate
+            collate_fn = make_advanced_collate(aug, default_collate,
+                                               seed=self.config.arch.seed)
         return DataLoader(
             ds, batch_size=cfg.batch_size, shuffle=(split == 'train'),
             seed=self.config.arch.seed, num_workers=cfg.num_workers,
+            collate_fn=collate_fn,
             shard_index=jax.process_index(), num_shards=jax.process_count())
 
     # ----------------------------------------------------------------- setup
