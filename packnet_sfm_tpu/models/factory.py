@@ -32,14 +32,23 @@ def setup_depth_net(config, params_cfg, dtype=None, **extra):
     """Build a depth network from cfg.model.depth_net (+ cfg.model.params)."""
     cls = lookup('depth_net', config.name)
     kwargs = dict(version=config.version, dropout=config.dropout)
-    if config.name in ('ResNetSAN01',):
+    if config.name in ('ResNetSAN01', 'YOLOv8SAN01'):
         kwargs.update(
             use_film=config.get('use_film', False),
             film_scales=tuple(config.get('film_scales', [0])),
-            use_enhanced_lidar=config.get('use_enhanced_lidar', False),
             use_dual_head=config.get('use_dual_head', False),
             min_depth=params_cfg.get('min_depth', 0.5) or 0.5,
             max_depth=params_cfg.get('max_depth', 80.0) or 80.0,
+        )
+    if config.name == 'ResNetSAN01':
+        kwargs['use_enhanced_lidar'] = config.get('use_enhanced_lidar', False)
+    if config.name == 'YOLOv8SAN01':
+        kwargs.update(
+            variant=config.get('variant', 's'),
+            use_neck_features=config.get('use_neck_features', False),
+            use_depth_neck=config.get('use_depth_neck', False),
+            use_imagenet_pretrained=config.get('use_imagenet_pretrained',
+                                               False),
         )
     if dtype is not None:
         kwargs['dtype'] = dtype

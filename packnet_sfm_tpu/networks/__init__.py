@@ -8,10 +8,11 @@ from packnet_sfm_tpu.networks.depth.depth_resnet import DepthResNet
 from packnet_sfm_tpu.networks.depth.packnet import (
     PackNet01, PackNetSlim01, PackNetSAN01, PackNetSlimSAN01)
 from packnet_sfm_tpu.networks.depth.ray_surface_resnet import RaySurfaceResNet
+from packnet_sfm_tpu.networks.depth.yolov8_san import YOLOv8SAN01
 from packnet_sfm_tpu.networks.pose.pose_net import PoseNet, PoseResNet
 
 for _net in [ResNetSAN01, DepthResNet, PackNet01, PackNetSlim01,
-             PackNetSAN01, PackNetSlimSAN01, RaySurfaceResNet]:
+             PackNetSAN01, PackNetSlimSAN01, RaySurfaceResNet, YOLOv8SAN01]:
     register('depth_net')(_net)
 
 for _net in [PoseNet, PoseResNet]:
