@@ -59,6 +59,12 @@ def setup_dataset(split_cfg, augmentation_cfg, mode):
                 mask_file=mask_files[i] if i < len(mask_files) else '',
                 use_mask=use_masks[i] if i < len(use_masks) else False,
                 **common))
+        elif name == 'DGP':
+            from packnet_sfm_tpu.datasets.dgp import DGPDataset
+            cam_list = split_cfg.get('cameras', [[]])
+            cams = cam_list[i] if i < len(cam_list) else []
+            datasets.append(DGPDataset(
+                cameras=cams or ('CAMERA_01',), **common))
         elif name == 'Image':
             common.pop('depth_type'), common.pop('input_depth_type')
             datasets.append(ImageDataset(**common))

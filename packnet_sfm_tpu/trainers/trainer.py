@@ -166,18 +166,28 @@ class Trainer:
         losses = []
         rng = jax.random.PRNGKey(self.config.arch.seed * 1000 + epoch)
         self.state = self.state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+        from packnet_sfm_tpu.utils.profiling import StepTimer
+        timer = StepTimer()
         for i, batch in enumerate(loader):
+            timer.data_ready()
             progress = (epoch + i / n) / max(self.max_epochs, 1)
             batch = _to_device_batch(batch, self.mesh)
             rng, sub = jax.random.split(rng)
             self.state, metrics = self.train_step(self.state, batch, sub,
                                                   progress)
             losses.append(metrics['loss'])
+            timer.step_done()
             if eval_every and val_loader is not None and i > 0 and \
                     i % eval_every == 0:
                 self.quick_eval(val_loader, i, n)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
-        return {'loss': mean_loss}
+        prof = timer.summary()
+        print(pcolor(
+            '  step breakdown: data {:.1f} ms | device {:.1f} ms '
+            '({:.0%} input-bound)'.format(prof['data_ms_per_step'],
+                                          prof['step_ms_per_step'],
+                                          prof['data_fraction']), 'blue'))
+        return {'loss': mean_loss, **prof}
 
     # ------------------------------------------------------------ quick eval
     def quick_eval(self, val_loader, step_i, steps):

@@ -188,3 +188,67 @@ def test_loader_sharding():
     flat1 = sum(idx1, [])
     assert set(flat0).isdisjoint(flat1)
     assert len(flat0) == len(flat1) == 8
+
+
+def make_dgp_tree(root):
+    """Minimal DGP-layout scene fixture."""
+    import json as _json
+    rng = np.random.RandomState(5)
+    scene_dir = os.path.join(root, 'scene_000')
+    cams = ['CAMERA_01', 'CAMERA_05']
+    samples = []
+    for i in range(3):
+        datums = []
+        for cam in cams:
+            fn = 'rgb/{}/{:06d}.png'.format(cam, i)
+            write_png(os.path.join(scene_dir, fn),
+                      (rng.rand(H, W, 3) * 255).astype(np.uint8))
+            datums.append({'sensor': cam, 'filename': fn,
+                           'pose': {'translation': {'x': 0.1 * i, 'y': 0,
+                                                    'z': 0},
+                                    'rotation': {'qw': 1, 'qx': 0, 'qy': 0,
+                                                 'qz': 0}}})
+        pc_fn = 'point_cloud/LIDAR/{:06d}.npz'.format(i)
+        os.makedirs(os.path.join(scene_dir, 'point_cloud', 'LIDAR'),
+                    exist_ok=True)
+        pts = rng.rand(200, 3).astype(np.float32) * [4, 3, 10] - [2, 1.5, 0]
+        pts[:, 2] += 2.0
+        np.savez(os.path.join(scene_dir, pc_fn), data=pts)
+        datums.append({'sensor': 'LIDAR', 'filename': pc_fn,
+                       'pose': {'translation': {'x': 0, 'y': 0, 'z': 0},
+                                'rotation': {'qw': 1, 'qx': 0, 'qy': 0,
+                                             'qz': 0}}})
+        samples.append({'datums': datums})
+    with open(os.path.join(scene_dir, 'scene_abc.json'), 'w') as f:
+        _json.dump({'samples': samples}, f)
+    os.makedirs(os.path.join(scene_dir, 'calibration'), exist_ok=True)
+    with open(os.path.join(scene_dir, 'calibration', 'cal.json'), 'w') as f:
+        _json.dump({'names': cams,
+                    'intrinsics': [{'fx': W, 'fy': W, 'cx': W / 2,
+                                    'cy': H / 2}] * 2,
+                    'extrinsics': [{'translation': {'x': 0, 'y': 0, 'z': 0},
+                                    'rotation': {'qw': 1, 'qx': 0, 'qy': 0,
+                                                 'qz': 0}}] * 2}, f)
+    return root
+
+
+def test_dgp_reader(tmp_path):
+    from packnet_sfm_tpu.datasets.dgp import DGPDataset
+    root = make_dgp_tree(str(tmp_path))
+    ds = DGPDataset(path=root, cameras=['CAMERA_01'],
+                    depth_type='lidar', back_context=1, forward_context=1)
+    assert len(ds) == 1
+    s = ds[0]
+    assert s['rgb'].shape == (H, W, 3)
+    assert s['depth'].shape == (H, W, 1)
+    assert (s['depth'] > 0).sum() > 10  # lidar projected into frame
+    assert len(s['rgb_context']) == 2
+
+
+def test_dgp_multicam_stack(tmp_path):
+    from packnet_sfm_tpu.datasets.dgp import DGPDataset
+    root = make_dgp_tree(str(tmp_path))
+    ds = DGPDataset(path=root, cameras=['CAMERA_01', 'CAMERA_05'],
+                    depth_type='', back_context=0, forward_context=0)
+    s = ds[0]
+    assert s['rgb'].shape == (2, H, W, 3)  # sensor axis stacked
