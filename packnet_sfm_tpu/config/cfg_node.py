@@ -98,7 +98,14 @@ class CfgNode(dict):
 
 
 def _coerce(value, existing):
-    """Coerce YAML value types toward the default's type (yacs semantics)."""
+    """Coerce YAML value types toward the default's type (yacs semantics:
+    including literal_eval of '(a, b)'-style tuple strings)."""
+    if isinstance(value, str) and value[:1] in '([{':
+        import ast
+        try:
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
     if existing is None:
         if isinstance(value, dict) and not isinstance(value, CfgNode):
             return CfgNode(value)

@@ -23,24 +23,37 @@ _DATASET_LIST_KEYS = ['dataset', 'path', 'split', 'depth_type',
 
 
 def prep_dataset(node):
-    """Broadcast per-dataset list entries to the number of datasets."""
-    n = len(node.get('path', []))
+    """
+    Broadcast per-dataset list entries to the number of datasets.
+
+    The dataset count is the LONGEST list over all keys (reference
+    utils/config.py:13-44) — e.g. a validation split with one path but
+    depth_type ['groundtruth','groundtruth'] and input_depth_type
+    ['velodyne',''] materializes TWO datasets (RGB+LiDAR and RGB-only eval).
+    """
+    if len(node.get('path', [])) == 0 and len(node.get('dataset', [])) == 0:
+        return node
+    lengths = []
+    vals = {}
     for key in _DATASET_LIST_KEYS:
         if key not in node:
             continue
         val = node[key]
         if not isinstance(val, (list, tuple)):
             val = [val]
-        val = list(val)
-        if n == 0:
-            node[key] = val
-            continue
+        vals[key] = list(val)
+        lengths.append(len(vals[key]))
+    n = max(lengths) if lengths else 0
+    for key, val in vals.items():
         if len(val) == 0:
-            val = [[]] if key == 'cameras' else ['']
+            val = ([[]] if key == 'cameras' else
+                   [False] if key == 'use_mask' else
+                   [1] if key == 'repeat' else [''])
         if len(val) == 1 and n > 1:
             val = val * n
-        assert len(val) == n or n == 0, \
-            'Wrong number of entries for {} ({} vs {} datasets)'.format(key, len(val), n)
+        assert len(val) == n, \
+            'Wrong number of entries for {} ({} vs {} datasets)'.format(
+                key, len(val), n)
         node[key] = val
     return node
 

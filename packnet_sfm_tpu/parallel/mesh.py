@@ -20,11 +20,20 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(mesh_shape=(), axis_names=('data',), devices=None):
-    """Create a Mesh; default = all devices on one 'data' axis."""
+def make_mesh(mesh_shape=(), axis_names=('data',), devices=None,
+              batch_size=None):
+    """Create a Mesh; default = all devices on one 'data' axis.
+
+    When `batch_size` is given, the data axis is clamped to the largest
+    device count that divides it (XLA requires the sharded dim divisible by
+    the axis size)."""
     devices = devices if devices is not None else jax.devices()
     if not mesh_shape:
-        mesh_shape = (len(devices),)
+        n = len(devices)
+        if batch_size is not None:
+            while n > 1 and batch_size % n != 0:
+                n -= 1
+        mesh_shape = (n,)
     devs = np.asarray(devices[:int(np.prod(mesh_shape))]).reshape(mesh_shape)
     return Mesh(devs, axis_names)
 
@@ -39,13 +48,15 @@ def batch_sharded(mesh, axis='data'):
 
 
 def shard_batch(batch, mesh, axis='data'):
-    """Place a host batch dict onto the mesh, batch-dim sharded."""
-    sharding = batch_sharded(mesh, axis)
+    """Place a host batch dict onto the mesh, batch-dim sharded. Arrays whose
+    leading dim isn't divisible by the data axis fall back to replication
+    (small eval batches)."""
+    n = mesh.shape[axis]
 
     def put(x):
         import jax.numpy as jnp
         x = jnp.asarray(x)
-        if x.ndim == 0:
+        if x.ndim == 0 or x.shape[0] % n != 0:
             return jax.device_put(x, replicated(mesh))
         return jax.device_put(x, NamedSharding(
             mesh, P(axis, *([None] * (x.ndim - 1)))))

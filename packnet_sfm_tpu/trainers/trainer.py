@@ -58,7 +58,8 @@ class Trainer:
         self.max_epochs = config.arch.max_epochs
         self.validate_first = config.arch.validate_first
         self.mesh = make_mesh(tuple(config.tpu.mesh_shape),
-                              tuple(config.tpu.mesh_axes))
+                              tuple(config.tpu.mesh_axes),
+                              batch_size=config.datasets.train.batch_size)
         self.model = setup_model(config)
         self.checkpoint_cb = None
         if config.checkpoint.filepath:
