@@ -58,3 +58,59 @@ def test_onnx_export(tmp_path, trained_variables):
         with torch.no_grad():
             np.testing.assert_allclose(loaded(x).numpy(), tnet(x).numpy(),
                                        rtol=1e-5, atol=1e-5)
+
+
+def make_resnet18_state_dict(rng):
+    """torchvision-layout resnet18 state dict with random values
+    (torchvision itself isn't installed in this image)."""
+    sd = {}
+
+    def conv(name, cout, cin, k):
+        sd[name + '.weight'] = rng.randn(cout, cin, k, k).astype(np.float32)
+
+    def bn(name, c):
+        sd[name + '.weight'] = rng.rand(c).astype(np.float32)
+        sd[name + '.bias'] = rng.randn(c).astype(np.float32)
+        sd[name + '.running_mean'] = rng.randn(c).astype(np.float32)
+        sd[name + '.running_var'] = rng.rand(c).astype(np.float32) + 0.5
+
+    conv('conv1', 64, 3, 7)
+    bn("bn1", 64)
+    widths = [64, 128, 256, 512]
+    cin = 64
+    for stage, (w, n) in enumerate(zip(widths, [2, 2, 2, 2])):
+        for b in range(n):
+            pre = 'layer{}.{}.'.format(stage + 1, b)
+            conv(pre + 'conv1', w, cin, 3)
+            bn(pre + 'bn1', w)
+            conv(pre + 'conv2', w, w, 3)
+            bn(pre + 'bn2', w)
+            if cin != w or (stage > 0 and b == 0):
+                conv(pre + 'downsample.0', w, cin, 1)
+                bn(pre + 'downsample.1', w)
+            cin = w
+    return sd
+
+
+def test_torchvision_import_roundtrip(trained_variables):
+    """torch->flax import maps a torchvision-layout state dict onto our
+    encoder tree with exactly matching shapes."""
+    from packnet_sfm_tpu.export.torch_import import torchvision_resnet_to_flax
+
+    sd = make_resnet18_state_dict(np.random.RandomState(0))
+    params, stats = torchvision_resnet_to_flax(sd, num_layers=18)
+    # shapes must match our flax encoder exactly
+    net, variables = trained_variables
+    enc = variables['params']['encoder']
+    for name, sub in enc.items():
+        assert name in params, name
+        for leaf, v in sub.items():
+            if isinstance(v, dict):
+                for k2, v2 in v.items():
+                    assert params[name][leaf][k2].shape == v2.shape
+            else:
+                assert params[name][leaf].shape == v.shape, (name, leaf)
+    # conv1 actually carries the torchvision values
+    np.testing.assert_allclose(
+        params['Conv_0']['kernel'],
+        np.transpose(sd['conv1.weight'], (2, 3, 1, 0)))
