@@ -21,6 +21,8 @@ import numpy as np
 
 def main():
     import jax
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_tpu_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
     import jax.numpy as jnp
 
     from packnet_sfm_tpu.config import get_cfg_defaults

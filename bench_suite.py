@@ -110,6 +110,10 @@ def main():
     parser.add_argument('--iters', type=int, default=20)
     args = parser.parse_args()
 
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_tpu_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+
     rng = np.random.RandomState(0)
     results = {}
 

@@ -68,7 +68,9 @@ class Trainer:
                 monitor=config.checkpoint.monitor,
                 save_top_k=config.checkpoint.save_top_k,
                 mode=config.checkpoint.mode,
-                period=config.checkpoint.period)
+                period=config.checkpoint.period,
+                s3_path=config.checkpoint.s3_path,
+                s3_frequency=config.checkpoint.s3_frequency)
         self.current_epoch = 0
         self.state = None
 
@@ -152,6 +154,13 @@ class Trainer:
             if val_loader is not None:
                 val_metrics = self.validate(val_loader)
                 self._dump_eval_json(epoch, val_metrics)
+            if self.logger is not None:
+                self.logger.log_metrics(
+                    {'train/' + k: v for k, v in train_metrics.items()
+                     if isinstance(v, (int, float))} |
+                    {'val/' + k: v for k, v in val_metrics.items()},
+                    step=epoch)
+                self._log_val_images(val_loader, epoch)
             if self.checkpoint_cb is not None and rank() == 0:
                 host_state = jax.device_get(self.state)
                 self.checkpoint_cb.check_and_save(
@@ -227,11 +236,14 @@ class Trainer:
     # ------------------------------------------------------------ validation
     def _metrics_for_output(self, output, batch, use_gt_scale=True):
         """7 metrics per conversion mode (model_wrapper.py:621-790)."""
+        from packnet_sfm_tpu.utils.debug import (
+            maybe_force_depth_div256, maybe_log_disp_stats)
         params = self.config.model.params
-        gt = batch['depth']
+        gt = maybe_force_depth_div256(batch['depth'])
         modes = {}
         if 'inv_depths' in output:
             sig = output['inv_depths'][0]
+            maybe_log_disp_stats(sig)
             inv_lin = sigmoid_to_inv_depth(sig, params.min_depth,
                                            params.max_depth, False)
             inv_log = sigmoid_to_inv_depth(sig, params.min_depth,
@@ -289,6 +301,27 @@ class Trainer:
         return self.validate(loader)
 
     # --------------------------------------------------------------- helpers
+    def _log_val_images(self, val_loader, epoch):
+        """Push rgb + predicted inverse-depth visualizations to the logger
+        (reference: model_wrapper.py:301-394 image logging)."""
+        if val_loader is None or self.logger is None:
+            return
+        from packnet_sfm_tpu.utils.viz import viz_inv_depth
+        try:
+            batch = next(iter(val_loader))
+        except StopIteration:
+            return
+        dev = _to_device_batch(batch, self.mesh)
+        out = self.eval_step(self.state, dev)
+        if 'inv_depths' not in out:
+            return
+        rgb = np.asarray(dev['rgb'])[:4]
+        sig = np.asarray(out['inv_depths'][0])[:4]
+        self.logger.log_images('val/rgb', rgb, step=epoch)
+        self.logger.log_images(
+            'val/inv_depth',
+            np.stack([viz_inv_depth(s[..., 0]) for s in sig]), step=epoch)
+
     def _dump_eval_json(self, epoch, metrics):
         if not self.config.checkpoint.filepath or rank() != 0:
             return

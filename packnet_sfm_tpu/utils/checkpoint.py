@@ -48,11 +48,27 @@ def load_checkpoint(path):
         return pickle.load(f)
 
 
+def s3_sync(local_dir, s3_path):
+    """Sync checkpoints to S3 via the aws CLI when available
+    (reference: model_checkpoint.py:12-21,78-92). No-op without awscli."""
+    import shutil
+    import subprocess
+    if not s3_path or shutil.which('aws') is None:
+        return False
+    try:
+        subprocess.run(['aws', 's3', 'sync', local_dir, s3_path, '--quiet'],
+                       check=True, timeout=600)
+        return True
+    except Exception as e:  # pragma: no cover - external service
+        print('[checkpoint] s3 sync failed: {}'.format(e))
+        return False
+
+
 class ModelCheckpoint:
     """Top-k checkpoint monitor (reference: model_checkpoint.py:27-126)."""
 
     def __init__(self, filepath, monitor='loss', save_top_k=5, mode='auto',
-                 period=1):
+                 period=1, s3_path='', s3_frequency=1):
         self.dirpath = os.path.dirname(filepath) or '.'
         self.filename_tpl = os.path.basename(filepath) or 'model_{epoch:02d}'
         self.monitor = monitor
@@ -60,6 +76,9 @@ class ModelCheckpoint:
         self.period = period
         self.epochs_since_last = 0
         self.best_k_models = {}
+        self.s3_path = s3_path
+        self.s3_frequency = s3_frequency
+        self._saves_since_sync = 0
         if mode == 'auto':
             # metric-name heuristic (reference: model_checkpoint.py:44-54)
             mode = 'max' if any(k in monitor for k in ['a1', 'a2', 'a3']) \
@@ -97,4 +116,8 @@ class ModelCheckpoint:
             self.best_k_models.pop(worst)
             if os.path.exists(worst):
                 os.remove(worst)
+        self._saves_since_sync += 1
+        if self.s3_path and self._saves_since_sync >= self.s3_frequency:
+            self._saves_since_sync = 0
+            s3_sync(self.dirpath, self.s3_path)
         return path
