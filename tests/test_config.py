@@ -1,0 +1,91 @@
+"""Config system tests: YAML merge, broadcasting, reference compatibility."""
+
+import os
+
+import pytest
+
+from packnet_sfm_tpu.config import (
+    get_cfg_defaults, parse_train_config, parse_train_file)
+from packnet_sfm_tpu.config.cfg_node import CfgNode
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = '/root/reference/configs'
+
+
+def test_defaults_tree_keys():
+    cfg = get_cfg_defaults()
+    assert cfg.model.loss.ssim_loss_weight == 0.85
+    assert cfg.datasets.train.batch_size == 2
+    assert cfg.checkpoint.monitor == 'loss'
+    assert cfg.tpu.mesh_axes == ('data',)
+
+
+def test_yaml_merge_and_tuple_strings(tmp_path):
+    p = tmp_path / 'c.yaml'
+    p.write_text(
+        'model:\n  name: SelfSupModel\n'
+        'datasets:\n  augmentation:\n    image_shape: (192, 640)\n'
+        '    crop_train_borders: (-352, 0, 0.5, 1216)\n')
+    cfg = parse_train_config(str(p))
+    assert cfg.model.name == 'SelfSupModel'
+    assert tuple(cfg.datasets.augmentation.image_shape) == (192, 640)
+    assert tuple(cfg.datasets.augmentation.crop_train_borders) == \
+        (-352, 0, 0.5, 1216)
+
+
+def test_list_broadcasting_rgb_vs_lidar(tmp_path):
+    """One path + two depth_type entries -> two datasets (reference
+    utils/config.py:13-44 semantics)."""
+    p = tmp_path / 'c.yaml'
+    p.write_text(
+        "datasets:\n  validation:\n    dataset: ['KITTI']\n"
+        "    path: ['/data']\n    split: ['s.txt']\n"
+        "    depth_type: ['groundtruth', 'groundtruth']\n"
+        "    input_depth_type: ['velodyne', '']\n")
+    cfg = parse_train_config(str(p))
+    v = cfg.datasets.validation
+    assert v.path == ['/data', '/data']
+    assert v.dataset == ['KITTI', 'KITTI']
+    assert v.input_depth_type == ['velodyne', '']
+
+
+@pytest.mark.parametrize('name', [
+    'train_resnet_san_kitti.yaml',
+    'train_resnet_san_ncdb_640x384.yaml',
+    'train_resnet_san_ncdb_dual_head_640x384.yaml',
+    'train_packnet_san_kitti.yaml',
+    'overfit_kitti.yaml',
+])
+def test_reference_configs_parse(name):
+    """The reference's own YAML files must parse against our defaults."""
+    path = os.path.join(REFERENCE, name)
+    if not os.path.isfile(path):
+        pytest.skip('reference configs unavailable')
+    cfg = parse_train_config(path)
+    assert cfg.model.name
+    assert cfg.model.depth_net.name
+
+
+def test_own_configs_parse():
+    for name in os.listdir(os.path.join(REPO, 'configs')):
+        if name.endswith('.yaml'):
+            cfg = parse_train_config(os.path.join(REPO, 'configs', name))
+            assert cfg.model.name, name
+
+
+def test_cli_override():
+    cfg = get_cfg_defaults()
+    cfg.merge_from_list(['model.name', 'SelfSupModel',
+                         'arch.max_epochs', '7'])
+    assert cfg.model.name == 'SelfSupModel'
+    assert cfg.arch.max_epochs == 7
+
+
+def test_checkpoint_filename_templating(tmp_path):
+    from packnet_sfm_tpu.config.config import prepare_config
+    cfg = get_cfg_defaults()
+    cfg.name = 'run1'
+    cfg.checkpoint.filepath = str(tmp_path)
+    cfg.checkpoint.monitor = 'abs_rel'
+    cfg = prepare_config(cfg)
+    assert '{epoch:02d}_{abs_rel:.3f}' in cfg.checkpoint.filepath
