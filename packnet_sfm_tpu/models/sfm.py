@@ -135,6 +135,10 @@ class SelfSupModel(SfmModel):
         output = self.forward_base(batch, train=train)
         if not train:
             return output
+        if output.get('poses') is None:
+            # no context frames (e.g. eval-shaped batch during init):
+            # the self-supervised term is undefined -> zero loss
+            return {'loss': jnp.zeros(()), 'metrics': {}, **output}
         self_sup = self.self_supervised_loss(batch, output, progress)
         return {'loss': self_sup['loss'],
                 'metrics': self_sup['metrics'],
