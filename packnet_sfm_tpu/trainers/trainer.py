@@ -108,6 +108,7 @@ class Trainer:
             steps_per_epoch, clip_grad=self.config.arch.clip_grad)
         rng = jax.random.PRNGKey(self.config.arch.seed)
         self.state = init_state(self.model, self.optimizer, example_batch, rng)
+        self._maybe_load_pretrained()
         if self.resume_state is not None:
             self.state = self.state.replace(
                 params=jax.tree_util.tree_map(
@@ -301,6 +302,44 @@ class Trainer:
         return self.validate(loader)
 
     # --------------------------------------------------------------- helpers
+    def _maybe_load_pretrained(self):
+        """ImageNet encoder init ('pt' version suffix, reference
+        resnet_encoder.py:53-60) and per-network checkpoint_path partial
+        loads (reference model_wrapper.py setup_depth_net/pose_net)."""
+        dn_cfg = self.config.model.depth_net
+        version = dn_cfg.version or ''
+        if version.endswith('pt') or dn_cfg.get('use_imagenet_pretrained'):
+            from packnet_sfm_tpu.export.torch_import import \
+                load_pretrained_encoder
+            try:
+                num_layers = int(version[:2]) if version[:2].isdigit() else 18
+                variables = {'params': dict(self.state.params),
+                             'batch_stats': dict(self.state.batch_stats)}
+                if 'depth_net' in variables['params'] and \
+                        'encoder' in variables['params']['depth_net']:
+                    sub = {'params': variables['params']['depth_net'],
+                           'batch_stats':
+                               variables['batch_stats'].get('depth_net', {})}
+                    sub = load_pretrained_encoder(sub, num_layers)
+                    variables['params']['depth_net'] = sub['params']
+                    variables['batch_stats']['depth_net'] = sub['batch_stats']
+                    self.state = self.state.replace(
+                        params=variables['params'],
+                        batch_stats=variables['batch_stats'])
+            except Exception as e:
+                print('[pretrained] skipped ({})'.format(e))
+        for key in ('depth_net', 'pose_net'):
+            ckpt_path = self.config.model[key].get('checkpoint_path', '')
+            if ckpt_path:
+                from packnet_sfm_tpu.utils.checkpoint import load_checkpoint
+                from packnet_sfm_tpu.utils.load import load_network
+                saved = load_checkpoint(ckpt_path)
+                sub = saved['params'].get(key, saved['params'])
+                merged, _, _ = load_network(self.state.params[key], sub)
+                params = dict(self.state.params)
+                params[key] = merged
+                self.state = self.state.replace(params=params)
+
     def _log_val_images(self, val_loader, epoch):
         """Push rgb + predicted inverse-depth visualizations to the logger
         (reference: model_wrapper.py:301-394 image logging)."""

@@ -1,0 +1,41 @@
+"""Trainer evaluation protocol: quick-eval RGB vs RGB+LiDAR and metric modes."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from packnet_sfm_tpu.config import parse_train_config
+from packnet_sfm_tpu.trainers.trainer import Trainer, _to_device_batch
+
+
+@pytest.fixture(scope='module')
+def trainer_with_lidar():
+    cfg = parse_train_config('configs/overfit_synthetic.yaml')
+    cfg.arch.max_epochs = 1
+    cfg.datasets.train.input_depth_type = ['sparse']   # synthetic lidar on
+    cfg.datasets.validation.input_depth_type = ['sparse']
+    cfg.model.depth_net.use_film = True
+    trainer = Trainer(cfg)
+    loader = trainer._make_loader('validation')
+    first = next(iter(loader))
+    trainer._steps_per_epoch = 4
+    trainer.setup(_to_device_batch(first, trainer.mesh))
+    return trainer, loader
+
+
+def test_validate_produces_all_modes(trainer_with_lidar):
+    trainer, loader = trainer_with_lidar
+    metrics = trainer.validate(loader)
+    for mode in ['depth', 'depth_gt', 'depth_lin', 'depth_lin_gt',
+                 'depth_log', 'depth_log_gt']:
+        assert '{}-abs_rel'.format(mode) in metrics, mode
+    assert np.isfinite(metrics['depth-abs_rel'])
+
+
+def test_quick_eval_runs(trainer_with_lidar, capsys):
+    trainer, loader = trainer_with_lidar
+    trainer.quick_eval(loader, 2, 10)
+    out = capsys.readouterr().out
+    assert 'abs_rel RGB' in out
+    assert 'RGB+LiDAR' in out  # synthetic samples carry input_depth
