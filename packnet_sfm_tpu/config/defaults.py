@@ -209,7 +209,7 @@ def get_cfg_defaults():
     cfg.tpu.mesh_axes = ('data',)    # mesh axis names
     cfg.tpu.compute_dtype = 'float32'  # conv compute dtype ('bfloat16' on pods)
     cfg.tpu.loss_dtype = 'float32'     # loss/geometry always fp32 islands
-    cfg.tpu.use_pallas = True          # enable Pallas kernels for hot ops
+    cfg.tpu.use_pallas = False         # fused Pallas photometric kernel (A/B'd)
     cfg.tpu.donate_buffers = True      # donate params/opt state to train step
     cfg.tpu.prefetch = 2               # host->device prefetch depth
 

@@ -70,6 +70,7 @@ class MultiViewPhotometricLoss:
     min_depth: float = 0.05
     max_depth: float = 80.0
     inputs_are_sigmoids: bool = True  # fork behaviour; False = upstream inv-depths
+    use_pallas: bool = False  # fused SSIM+L1 kernel (ops/pallas/photometric.py)
 
     def __post_init__(self):
         if self.automask_loss:
@@ -98,13 +99,18 @@ class MultiViewPhotometricLoss:
         """Per-pixel photometric maps [B,h,w,1] per scale."""
         out = []
         for est, img, m in zip(t_est, images, masks):
-            l1 = jnp.abs(est - img)
-            if self.ssim_loss_weight > 0.0:
+            if self.use_pallas and self.ssim_loss_weight > 0.0:
+                from packnet_sfm_tpu.ops.pallas.photometric import \
+                    photometric_map_pallas
+                photo = photometric_map_pallas(
+                    est, img, self.ssim_loss_weight, self.C1, self.C2)
+            elif self.ssim_loss_weight > 0.0:
+                l1 = jnp.abs(est - img)
                 s = ssim_loss(est, img, self.C1, self.C2)
                 photo = (self.ssim_loss_weight * s.mean(axis=3, keepdims=True)
                          + (1 - self.ssim_loss_weight) * l1.mean(axis=3, keepdims=True))
             else:
-                photo = l1
+                photo = jnp.abs(est - img)
             if self.clip_loss > 0.0:
                 mean, std = photo.mean(), photo.std()
                 photo = jnp.clip(photo, a_max=mean + self.clip_loss * std)

@@ -96,6 +96,7 @@ def setup_model(config, prepared=True):
         automask_loss=loss_cfg.automask_loss,
         min_depth=params_cfg.min_depth or 0.05,
         max_depth=params_cfg.max_depth or 80.0,
+        use_pallas=bool(config.get('tpu', {}).get('use_pallas', False)),
     )
     supervised = SupervisedLoss(
         supervised_method=loss_cfg.supervised_method,
