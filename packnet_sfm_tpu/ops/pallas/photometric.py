@@ -3,34 +3,38 @@ Fused photometric-map Pallas kernel (SSIM + L1) with analytic custom VJP.
 
 Motivation (measured, single v5e chip): the self-supervised step runs ~6x
 slower per image than the supervised-only step (408 vs 2461 img/s at
-192x640) and the photometric loss section is memory-bound — the XLA
+192x640) and the photometric-loss section is memory-bound — the XLA
 composition of SSIM makes ~15+ HBM round-trips per (scale, context) for
 pads, five 3x3 box filters and elementwise chains
 (reference math: losses/multiview_photometric_loss.py:16-55,218-247).
 
-This kernel computes, in ONE pass over VMEM-resident tiles,
+Forward (one VMEM pass per tile):
 
     photo(p) = alpha * mean_c clamp01((1 - SSIM_c(p)) / 2)
              + (1-alpha) * mean_c |x_c(p) - y_c(p)|
 
-from reflect-padded inputs, and implements the backward pass analytically
-via the raw-moment decomposition (m1=E[x], m2=E[y], m3=E[x^2], m4=E[y^2],
-m5=E[xy], each a 3x3 box mean):
+Backward, analytic, via the raw-moment decomposition (m1=E[x], m2=E[y],
+m3=E[x^2], m4=E[y^2], m5=E[xy], each a 3x3 box mean):
 
     S = N/D,  N = (2 m1 m2 + C1)(2(m5 - m1 m2) + C2)
               D = (m1^2 + m2^2 + C1)(m3 - m1^2 + m4 - m2^2 + C2)
 
-    dL/dxp(q) = 1/9 [ full_boxsum(G S1)(q) + 2 xp(q) full_boxsum(G S3)(q)
-                      + yp(q) full_boxsum(G S5)(q) ] + L1 term,
+    dL/dxp(q) = 1/9 [ bsum(G dS/dm1)(q) + 2 xp(q) bsum(G dS/dm3)(q)
+                      + yp(q) bsum(G dS/dm5)(q) ] + L1 term,
 
-with S1 = dS/dm1, S3 = dS/dm3, S5 = dS/dm5 (and the symmetric y-side), and
-G the upstream gradient folded with the clamp mask and -alpha/6 factor.
-The reflect-pad fold is left to JAX autodiff (the custom-VJP boundary sits
-AFTER jnp.pad), so the kernels only ever see zero-padding semantics.
+where bsum is the zero-padded transpose of the valid 3x3 box sum. The
+reflect-pad fold is left to JAX autodiff (the custom-VJP boundary sits
+AFTER jnp.pad), so the kernels only see zero-padding semantics.
 
-Layout: planes [B, 3, Hp, Wp] (channels off the lane dim); grid over B.
+VMEM strategy: whole images blow the 16MB scoped-VMEM budget at 192x640,
+so the wrapper pre-slices OVERLAPPING row tiles in XLA (a cheap gather)
+and the kernels consume non-overlapping [tile] blocks — halo handling
+without Pallas-side DMA choreography. HBM traffic ~2 reads + 1 write vs
+the XLA composition's ~15 passes.
+
 Verified against the XLA composition and its autodiff in
-tests/test_pallas_photometric.py. Enable with cfg.tpu.use_pallas.
+tests/test_pallas_photometric.py (interpret mode on CPU, compiled on TPU).
+Enable with cfg.tpu.use_pallas.
 """
 
 import functools
@@ -39,9 +43,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+
 def _interpret():
     """Interpreter mode off-TPU (CPU tests run the kernels interpreted)."""
     return jax.default_backend() != 'tpu'
+
+
+TILE_H = 64  # valid-grid rows per kernel invocation
 
 
 def _boxsum_valid(v, H, W):
@@ -53,23 +61,15 @@ def _boxsum_valid(v, H, W):
     return out
 
 
-def _zpad2(v, pad):
-    """Zero-pad the last two dims by `pad` on each side via concatenation
-    (Mosaic has no scatter; jnp.zeros+concat lowers cleanly)."""
-    rows = jnp.zeros(v.shape[:-2] + (pad, v.shape[-1]), v.dtype)
-    v = jnp.concatenate([rows, v, rows], axis=-2)
-    cols = jnp.zeros(v.shape[:-1] + (pad,), v.dtype)
-    return jnp.concatenate([cols, v, cols], axis=-1)
-
-
-def _boxsum_full(g, H, W):
-    """Transpose of valid boxsum: [*, H, W] -> [*, H+2, W+2] (zero pad)."""
-    z = _zpad2(g, 2)
-    out = 0.0
-    for dy in range(3):
-        for dx in range(3):
-            out = out + z[..., dy:dy + H + 2, dx:dx + W + 2]
-    return out
+def _zpad2(v, pr, pc):
+    """Zero-pad the last two dims via concatenation (Mosaic-safe)."""
+    if pr:
+        rows = jnp.zeros(v.shape[:-2] + (pr, v.shape[-1]), v.dtype)
+        v = jnp.concatenate([rows, v, rows], axis=-2)
+    if pc:
+        cols = jnp.zeros(v.shape[:-1] + (pc,), v.dtype)
+        v = jnp.concatenate([cols, v, cols], axis=-1)
+    return v
 
 
 def _moments(xp, yp, H, W):
@@ -83,110 +83,170 @@ def _moments(xp, yp, H, W):
 
 
 def _ssim_terms(m1, m2, m3, m4, m5, C1, C2):
-    mu2 = m1 * m1 + m2 * m2
     sxy2 = 2.0 * (m5 - m1 * m2) + C2
     n1 = 2.0 * m1 * m2 + C1
-    d1 = mu2 + C1
+    d1 = m1 * m1 + m2 * m2 + C1
     d2 = (m3 - m1 * m1) + (m4 - m2 * m2) + C2
-    N = n1 * sxy2
-    D = d1 * d2
-    return N, D, n1, sxy2, d1, d2
+    return n1 * sxy2, d1 * d2, n1, sxy2, d1, d2
 
 
-def _fwd_kernel(xp_ref, yp_ref, out_ref, *, H, W, alpha, C1, C2):
-    xp = xp_ref[0]
-    yp = yp_ref[0]
-    m1, m2, m3, m4, m5 = _moments(xp, yp, H, W)
+def _row_tiles(x, starts, rows):
+    """Gather overlapping row tiles: [B,C,Hp,Wp] -> [B,T,C,rows,Wp]."""
+    idx = starts[:, None] + jnp.arange(rows)[None, :]      # [T, rows]
+    idx = jnp.clip(idx, 0, x.shape[2] - 1)
+    out = x[:, :, idx, :]                                   # [B,C,T,rows,Wp]
+    return out.transpose(0, 2, 1, 3, 4)
+
+
+########################################################################################################################
+# Forward
+
+
+def _fwd_kernel(xp_ref, yp_ref, out_ref, *, TH, W, alpha, C1, C2):
+    xp = xp_ref[0, 0]           # [C, TH+2, W+2]
+    yp = yp_ref[0, 0]
+    m1, m2, m3, m4, m5 = _moments(xp, yp, TH, W)
     N, D, _, _, _, _ = _ssim_terms(m1, m2, m3, m4, m5, C1, C2)
-    ssim = N / D
-    ssim_term = jnp.clip((1.0 - ssim) * 0.5, 0.0, 1.0)
-    x_c = xp[:, 1:1 + H, 1:1 + W]
-    y_c = yp[:, 1:1 + H, 1:1 + W]
-    l1 = jnp.abs(x_c - y_c)
-    photo = (alpha * ssim_term + (1.0 - alpha) * l1).mean(axis=0)
-    out_ref[0] = photo
-
-
-def _bwd_kernel(xp_ref, yp_ref, g_ref, dx_ref, dy_ref, *, H, W, alpha,
-                C1, C2):
-    xp = xp_ref[0]
-    yp = yp_ref[0]
-    g = g_ref[0]  # [H, W] upstream gradient of the channel-meaned map
-    m1, m2, m3, m4, m5 = _moments(xp, yp, H, W)
-    N, D, n1, sxy2, d1, d2 = _ssim_terms(m1, m2, m3, m4, m5, C1, C2)
-    ssim = N / D
-    inside = ((1.0 - ssim) * 0.5 > 0.0) & ((1.0 - ssim) * 0.5 < 1.0)
-    # d photo/d ssim = alpha/3 * (-1/2) on the clamp's linear region
-    Gc = jnp.where(inside, g * (-0.5 * alpha / 3.0), 0.0)
-
-    inv_D = 1.0 / D
-    NDD = N * inv_D * inv_D
-    # dS/dm1 = [dN/dm1 * D - N * dD/dm1] / D^2
-    dN_dm1 = 2.0 * m2 * sxy2 - 2.0 * m2 * n1
-    dD_dm1 = 2.0 * m1 * d2 - 2.0 * m1 * d1
-    S1 = dN_dm1 * inv_D - NDD * dD_dm1
-    dN_dm2 = 2.0 * m1 * sxy2 - 2.0 * m1 * n1
-    dD_dm2 = 2.0 * m2 * d2 - 2.0 * m2 * d1
-    S2 = dN_dm2 * inv_D - NDD * dD_dm2
-    S3 = -NDD * d1          # dD/dm3 = d1
-    S5 = 2.0 * n1 * inv_D   # dN/dm5 = 2 n1
-
-    # y-side raw-moment partials: dS/dm4 == dS/dm3 (both enter through d2)
-    inv9 = 1.0 / 9.0
-    b_S1 = _boxsum_full(Gc * S1, H, W) * inv9
-    b_S2 = _boxsum_full(Gc * S2, H, W) * inv9
-    b_S3 = _boxsum_full(Gc * S3, H, W) * inv9
-    b_S5 = _boxsum_full(Gc * S5, H, W) * inv9
-
-    # m3 = E[x^2]: d m3/dx(q) = 2 x(q)/9; m5 = E[xy]: d m5/dx(q) = y(q)/9
-    dx = b_S1 + 2.0 * xp * b_S3 + yp * b_S5
-    dy = b_S2 + 2.0 * yp * b_S3 + xp * b_S5
-
-    # L1 term on the interior pixels (zero-padded back to the padded grid)
-    x_c = xp[:, 1:1 + H, 1:1 + W]
-    y_c = yp[:, 1:1 + H, 1:1 + W]
-    sgn = jnp.sign(x_c - y_c) * (g * (1.0 - alpha) / 3.0)
-    sgn_p = _zpad2(sgn, 1)
-    dx = dx + sgn_p
-    dy = dy - sgn_p
-
-    dx_ref[0] = dx
-    dy_ref[0] = dy
+    ssim_term = jnp.clip((1.0 - N / D) * 0.5, 0.0, 1.0)
+    l1 = jnp.abs(xp[:, 1:1 + TH, 1:1 + W] - yp[:, 1:1 + TH, 1:1 + W])
+    out_ref[0, 0] = (alpha * ssim_term + (1.0 - alpha) * l1).mean(axis=0)
 
 
 def _call_fwd(xp, yp, alpha, C1, C2):
     B, C, Hp, Wp = xp.shape
     H, W = Hp - 2, Wp - 2
-    kernel = functools.partial(_fwd_kernel, H=H, W=W, alpha=alpha,
+    TH = min(TILE_H, H)
+    n_t = -(-H // TH)
+    Hpad = n_t * TH
+    starts = jnp.arange(n_t) * TH
+    xt = _row_tiles(xp, starts, TH + 2)     # [B,T,C,TH+2,Wp]
+    yt = _row_tiles(yp, starts, TH + 2)
+    kernel = functools.partial(_fwd_kernel, TH=TH, W=W, alpha=alpha,
                                C1=C1, C2=C2)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, C, Hp, Wp), lambda b: (b, 0, 0, 0)),
-                  pl.BlockSpec((1, C, Hp, Wp), lambda b: (b, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, W), xp.dtype),
+        grid=(B, n_t),
+        in_specs=[pl.BlockSpec((1, 1, C, TH + 2, Wp),
+                               lambda b, t: (b, t, 0, 0, 0)),
+                  pl.BlockSpec((1, 1, C, TH + 2, Wp),
+                               lambda b, t: (b, t, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, 1, TH, W), lambda b, t: (b, t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n_t, TH, W), xp.dtype),
         interpret=_interpret(),
-    )(xp, yp)
+    )(xt, yt)
+    return out.reshape(B, Hpad, W)[:, :H]
+
+
+########################################################################################################################
+# Backward
+
+
+def _bwd_kernel(xp_ref, yp_ref, g_ref, dx_ref, dy_ref, *, TQ, W, alpha,
+                C1, C2):
+    # Tile covers padded-grid rows q in [q0, q0+TQ).
+    # xp tile rows: [q0-2, q0+TQ+2) (TQ+4); g tile rows: [q0-2, q0+TQ) (TQ+2)
+    # (g is pre-padded with zeros so out-of-range rows read as 0).
+    xp = xp_ref[0, 0]           # [C, TQ+4, W+2]
+    yp = yp_ref[0, 0]
+    g = g_ref[0, 0]             # [TQ+2, W]
+    TP = TQ + 2                 # number of valid-grid rows covered
+    m1, m2, m3, m4, m5 = _moments(xp, yp, TP, W)
+    N, D, n1, sxy2, d1, d2 = _ssim_terms(m1, m2, m3, m4, m5, C1, C2)
+    ssim = N / D
+    lin = (1.0 - ssim) * 0.5
+    inside = (lin > 0.0) & (lin < 1.0)
+    Gc = jnp.where(inside, g * (-0.5 * alpha / 3.0), 0.0)
+
+    inv_D = 1.0 / D
+    NDD = N * inv_D * inv_D
+    S1 = (2.0 * m2 * (sxy2 - n1)) * inv_D - NDD * (2.0 * m1 * (d2 - d1))
+    S2 = (2.0 * m1 * (sxy2 - n1)) * inv_D - NDD * (2.0 * m2 * (d2 - d1))
+    S3 = -NDD * d1
+    S5 = 2.0 * n1 * inv_D
+
+    inv9 = 1.0 / 9.0
+
+    def bsum_q(v):
+        """[C?,TP,W] p-grid -> [C?,TQ,W+2] q-grid: q = p..p+2 shifted.
+        q rows [q0, q0+TQ) gather p rows [q-2, q] = local p index q_loc..q_loc+2
+        with p_loc = q_loc + (q0 - (q0-2)) - 2 ... local algebra:
+        p_local = p - (q0-2); q_local = q - q0; p in [q-2, q] ->
+        p_local in [q_local, q_local+2]. Columns pad by 2 (zero)."""
+        vpad = _zpad2(v, 0, 2)              # [.., TP, W+4]
+        out = 0.0
+        for dy in range(3):
+            for dx in range(3):
+                out = out + vpad[..., dy:dy + TQ, dx:dx + W + 2]
+        return out
+
+    b_S1 = bsum_q(Gc * S1) * inv9
+    b_S2 = bsum_q(Gc * S2) * inv9
+    b_S3 = bsum_q(Gc * S3) * inv9
+    b_S5 = bsum_q(Gc * S5) * inv9
+
+    xq = xp[:, 2:2 + TQ, :]     # padded-grid rows [q0, q0+TQ)
+    yq = yp[:, 2:2 + TQ, :]
+    dx = b_S1 + 2.0 * xq * b_S3 + yq * b_S5
+    dy = b_S2 + 2.0 * yq * b_S3 + xq * b_S5
+
+    # L1 term: dL/dxp(q) += sign(xp(q)-yp(q)) * g(p=q-1) * (1-alpha)/3 for
+    # interior q (the pixel whose value IS xp(q)); boundary rows/cols get 0
+    # from the zero-padded g.
+    x_c = xp[:, 2:2 + TQ, 1:1 + W]   # values at padded rows [q0, q0+TQ)
+    y_c = yp[:, 2:2 + TQ, 1:1 + W]
+    g_c = g[1:1 + TQ, :]
+    sgn = jnp.sign(x_c - y_c) * (g_c * (1.0 - alpha) / 3.0)
+    sgn = _zpad2(sgn, 0, 1)          # columns back to W+2
+    dx = dx + sgn
+    dy = dy - sgn
+
+    dx_ref[0, 0] = dx
+    dy_ref[0, 0] = dy
 
 
 def _call_bwd(xp, yp, g, alpha, C1, C2):
     B, C, Hp, Wp = xp.shape
     H, W = Hp - 2, Wp - 2
-    kernel = functools.partial(_bwd_kernel, H=H, W=W, alpha=alpha,
+    TQ = min(TILE_H, Hp)
+    n_t = -(-Hp // TQ)
+    starts = jnp.arange(n_t) * TQ
+
+    # xp tiles: rows [q0-2, q0+TQ+2) with edge rows clamped; the clamped
+    # duplicates only feed moments outside the valid p-range whose Gc is 0.
+    xt = _row_tiles(xp, starts - 2, TQ + 4)
+    yt = _row_tiles(yp, starts - 2, TQ + 4)
+    # g on the p grid [H, W], padded by 2 zero rows each side, tiles of TQ+2
+    gz = jnp.concatenate([jnp.zeros((B, 2, W), g.dtype), g,
+                          jnp.zeros((B, 2 + TQ, W), g.dtype)], axis=1)
+    gidx = (starts[:, None] + jnp.arange(TQ + 2)[None, :])
+    gt = gz[:, gidx, :]                     # [B, n_t, TQ+2, W]
+
+    kernel = functools.partial(_bwd_kernel, TQ=TQ, W=W, alpha=alpha,
                                C1=C1, C2=C2)
-    return pl.pallas_call(
+    dxt, dyt = pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, C, Hp, Wp), lambda b: (b, 0, 0, 0)),
-                  pl.BlockSpec((1, C, Hp, Wp), lambda b: (b, 0, 0, 0)),
-                  pl.BlockSpec((1, H, W), lambda b: (b, 0, 0))],
-        out_specs=[pl.BlockSpec((1, C, Hp, Wp), lambda b: (b, 0, 0, 0)),
-                   pl.BlockSpec((1, C, Hp, Wp), lambda b: (b, 0, 0, 0))],
-        out_shape=[jax.ShapeDtypeStruct((B, C, Hp, Wp), xp.dtype),
-                   jax.ShapeDtypeStruct((B, C, Hp, Wp), xp.dtype)],
+        grid=(B, n_t),
+        in_specs=[pl.BlockSpec((1, 1, C, TQ + 4, Wp),
+                               lambda b, t: (b, t, 0, 0, 0)),
+                  pl.BlockSpec((1, 1, C, TQ + 4, Wp),
+                               lambda b, t: (b, t, 0, 0, 0)),
+                  pl.BlockSpec((1, 1, TQ + 2, W),
+                               lambda b, t: (b, t, 0, 0))],
+        out_specs=[pl.BlockSpec((1, 1, C, TQ, Wp),
+                                lambda b, t: (b, t, 0, 0, 0)),
+                   pl.BlockSpec((1, 1, C, TQ, Wp),
+                                lambda b, t: (b, t, 0, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((B, n_t, C, TQ, Wp), xp.dtype),
+                   jax.ShapeDtypeStruct((B, n_t, C, TQ, Wp), xp.dtype)],
         interpret=_interpret(),
-    )(xp, yp, g)
+    )(xt, yt, gt)
+    dx = dxt.transpose(0, 2, 1, 3, 4).reshape(B, C, n_t * TQ, Wp)[:, :, :Hp]
+    dy = dyt.transpose(0, 2, 1, 3, 4).reshape(B, C, n_t * TQ, Wp)[:, :, :Hp]
+    return dx, dy
+
+
+########################################################################################################################
+# custom_vjp + public API
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -200,8 +260,7 @@ def _photo_padded_fwd(xp, yp, alpha, C1, C2):
 
 def _photo_padded_bwd(alpha, C1, C2, res, g):
     xp, yp = res
-    dx, dy = _call_bwd(xp, yp, g, alpha, C1, C2)
-    return dx, dy
+    return _call_bwd(xp, yp, g, alpha, C1, C2)
 
 
 _photo_padded.defvjp(_photo_padded_fwd, _photo_padded_bwd)

@@ -61,3 +61,22 @@ def test_vjp_similar_images(xy):
     for r, o in zip(ref, got):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_multi_tile_nondivisible():
+    """H spanning multiple kernel tiles with a ragged tail."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 150, 32, 3).astype(np.float32))
+    y = jnp.asarray(rng.rand(1, 150, 32, 3).astype(np.float32))
+    g = jnp.asarray(rng.rand(1, 150, 32, 1).astype(np.float32))
+    ref_v = photometric_map_xla(x, y)
+    got_v = photometric_map_pallas(x, y)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v),
+                               rtol=1e-5, atol=1e-6)
+    ref = jax.grad(lambda a, b: (photometric_map_xla(a, b) * g).sum(),
+                   argnums=(0, 1))(x, y)
+    got = jax.grad(lambda a, b: (photometric_map_pallas(a, b) * g).sum(),
+                   argnums=(0, 1))(x, y)
+    for r, o in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
