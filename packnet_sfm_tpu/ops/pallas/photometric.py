@@ -49,7 +49,7 @@ def _interpret():
     return jax.default_backend() != 'tpu'
 
 
-TILE_H = 64  # valid-grid rows per kernel invocation
+TILE_H = 48  # valid-grid rows per kernel invocation (fits 16MB scoped VMEM)
 
 
 def _boxsum_valid(v, H, W):
