@@ -61,17 +61,6 @@ def _boxsum_valid(v, H, W):
     return out
 
 
-def _zpad2(v, pr, pc):
-    """Zero-pad the last two dims via concatenation (Mosaic-safe)."""
-    if pr:
-        rows = jnp.zeros(v.shape[:-2] + (pr, v.shape[-1]), v.dtype)
-        v = jnp.concatenate([rows, v, rows], axis=-2)
-    if pc:
-        cols = jnp.zeros(v.shape[:-1] + (pc,), v.dtype)
-        v = jnp.concatenate([cols, v, cols], axis=-1)
-    return v
-
-
 def _moments(xp, yp, H, W):
     inv9 = 1.0 / 9.0
     m1 = _boxsum_valid(xp, H, W) * inv9
@@ -141,16 +130,26 @@ def _call_fwd(xp, yp, alpha, C1, C2):
 # Backward
 
 
-def _bwd_kernel(xp_ref, yp_ref, g_ref, dx_ref, dy_ref, *, TQ, W, alpha,
+def _bwd_kernel(xw_ref, yw_ref, g_ref, dx_ref, dy_ref, *, TQ, W, alpha,
                 C1, C2):
-    # Tile covers padded-grid rows q in [q0, q0+TQ).
-    # xp tile rows: [q0-2, q0+TQ+2) (TQ+4); g tile rows: [q0-2, q0+TQ) (TQ+2)
-    # (g is pre-padded with zeros so out-of-range rows read as 0).
-    xp = xp_ref[0, 0]           # [C, TQ+4, W+2]
-    yp = yp_ref[0, 0]
-    g = g_ref[0, 0]             # [TQ+2, W]
-    TP = TQ + 2                 # number of valid-grid rows covered
-    m1, m2, m3, m4, m5 = _moments(xp, yp, TP, W)
+    """
+    Width-constant formulation: Mosaic supports lane slicing but not lane
+    concatenation/expansion, so ALL zero-padding is done XLA-side and the
+    kernel only ever narrows widths.
+
+    Coordinates (columns): xw has width W+6 with xp (width Wp=W+2) at cols
+    [2, W+4); g has width W+4 with the valid-grid gradient (width W) at cols
+    [2, W+2). Wide moments at index j correspond to valid column p = j-2
+    (junk outside [0,W) is nulled by g's zeros). Rows: the tile covers
+    padded rows q in [q0, q0+TQ); xw rows are [q0-2, q0+TQ+2), g rows
+    [q0-2, q0+TQ) with zero rows outside the valid range.
+    """
+    xw = xw_ref[0, 0]           # [C, TQ+4, W+6]
+    yw = yw_ref[0, 0]
+    g = g_ref[0, 0]             # [TQ+2, W+4]
+    TP = TQ + 2                 # covered p rows
+    WW = W + 4                  # wide moment width
+    m1, m2, m3, m4, m5 = _moments(xw, yw, TP, WW)
     N, D, n1, sxy2, d1, d2 = _ssim_terms(m1, m2, m3, m4, m5, C1, C2)
     ssim = N / D
     lin = (1.0 - ssim) * 0.5
@@ -165,18 +164,16 @@ def _bwd_kernel(xp_ref, yp_ref, g_ref, dx_ref, dy_ref, *, TQ, W, alpha,
     S5 = 2.0 * n1 * inv_D
 
     inv9 = 1.0 / 9.0
+    Wp = W + 2
 
     def bsum_q(v):
-        """[C?,TP,W] p-grid -> [C?,TQ,W+2] q-grid: q = p..p+2 shifted.
-        q rows [q0, q0+TQ) gather p rows [q-2, q] = local p index q_loc..q_loc+2
-        with p_loc = q_loc + (q0 - (q0-2)) - 2 ... local algebra:
-        p_local = p - (q0-2); q_local = q - q0; p in [q-2, q] ->
-        p_local in [q_local, q_local+2]. Columns pad by 2 (zero)."""
-        vpad = _zpad2(v, 0, 2)              # [.., TP, W+4]
+        """[C,TP,W+4] wide p-grid -> [C,TQ,Wp] q-grid (pure slicing):
+        dx(q) sums p in [q-2, q]; wide col j = p+2 -> cols [q, q+2];
+        rows: p = q0-2+i, q = q0+j -> i in [j, j+2]."""
         out = 0.0
         for dy in range(3):
-            for dx in range(3):
-                out = out + vpad[..., dy:dy + TQ, dx:dx + W + 2]
+            for dxs in range(3):
+                out = out + v[..., dy:dy + TQ, dxs:dxs + Wp]
         return out
 
     b_S1 = bsum_q(Gc * S1) * inv9
@@ -184,19 +181,15 @@ def _bwd_kernel(xp_ref, yp_ref, g_ref, dx_ref, dy_ref, *, TQ, W, alpha,
     b_S3 = bsum_q(Gc * S3) * inv9
     b_S5 = bsum_q(Gc * S5) * inv9
 
-    xq = xp[:, 2:2 + TQ, :]     # padded-grid rows [q0, q0+TQ)
-    yq = yp[:, 2:2 + TQ, :]
+    xq = xw[:, 2:2 + TQ, 2:2 + Wp]   # xp values at padded rows [q0, q0+TQ)
+    yq = yw[:, 2:2 + TQ, 2:2 + Wp]
     dx = b_S1 + 2.0 * xq * b_S3 + yq * b_S5
     dy = b_S2 + 2.0 * yq * b_S3 + xq * b_S5
 
-    # L1 term: dL/dxp(q) += sign(xp(q)-yp(q)) * g(p=q-1) * (1-alpha)/3 for
-    # interior q (the pixel whose value IS xp(q)); boundary rows/cols get 0
-    # from the zero-padded g.
-    x_c = xp[:, 2:2 + TQ, 1:1 + W]   # values at padded rows [q0, q0+TQ)
-    y_c = yp[:, 2:2 + TQ, 1:1 + W]
-    g_c = g[1:1 + TQ, :]
-    sgn = jnp.sign(x_c - y_c) * (g_c * (1.0 - alpha) / 3.0)
-    sgn = _zpad2(sgn, 0, 1)          # columns back to W+2
+    # L1 term: dL/dxp(q) += sign(xp(q)-yp(q)) * g(p=q-1) * (1-alpha)/3;
+    # boundary rows/cols get 0 from g's zero padding.
+    g_c = g[1:1 + TQ, 1:1 + Wp]      # g at p = q-1 (rows i=j+1, cols j=q+1)
+    sgn = jnp.sign(xq - yq) * (g_c * (1.0 - alpha) / 3.0)
     dx = dx + sgn
     dy = dy - sgn
 
@@ -211,26 +204,31 @@ def _call_bwd(xp, yp, g, alpha, C1, C2):
     n_t = -(-Hp // TQ)
     starts = jnp.arange(n_t) * TQ
 
-    # xp tiles: rows [q0-2, q0+TQ+2) with edge rows clamped; the clamped
-    # duplicates only feed moments outside the valid p-range whose Gc is 0.
-    xt = _row_tiles(xp, starts - 2, TQ + 4)
-    yt = _row_tiles(yp, starts - 2, TQ + 4)
-    # g on the p grid [H, W], padded by 2 zero rows each side, tiles of TQ+2
-    gz = jnp.concatenate([jnp.zeros((B, 2, W), g.dtype), g,
-                          jnp.zeros((B, 2 + TQ, W), g.dtype)], axis=1)
+    # Widen columns XLA-side (Mosaic kernels only narrow widths):
+    xw = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (2, 2)))   # [B,C,Hp,W+6]
+    yw = jnp.pad(yp, ((0, 0), (0, 0), (0, 0), (2, 2)))
+    gw = jnp.pad(g, ((0, 0), (0, 0), (2, 2)))            # [B,H,W+4]
+
+    # xw tiles: rows [q0-2, q0+TQ+2), edge rows clamped; clamped duplicates
+    # only feed moments at p outside the valid range, where g is zero.
+    xt = _row_tiles(xw, starts - 2, TQ + 4)
+    yt = _row_tiles(yw, starts - 2, TQ + 4)
+    # g tiles on the p grid, rows [q0-2, q0+TQ) with zero rows outside
+    gz = jnp.concatenate([jnp.zeros((B, 2, W + 4), g.dtype), gw,
+                          jnp.zeros((B, 2 + TQ, W + 4), g.dtype)], axis=1)
     gidx = (starts[:, None] + jnp.arange(TQ + 2)[None, :])
-    gt = gz[:, gidx, :]                     # [B, n_t, TQ+2, W]
+    gt = gz[:, gidx, :]                     # [B, n_t, TQ+2, W+4]
 
     kernel = functools.partial(_bwd_kernel, TQ=TQ, W=W, alpha=alpha,
                                C1=C1, C2=C2)
     dxt, dyt = pl.pallas_call(
         kernel,
         grid=(B, n_t),
-        in_specs=[pl.BlockSpec((1, 1, C, TQ + 4, Wp),
+        in_specs=[pl.BlockSpec((1, 1, C, TQ + 4, W + 6),
                                lambda b, t: (b, t, 0, 0, 0)),
-                  pl.BlockSpec((1, 1, C, TQ + 4, Wp),
+                  pl.BlockSpec((1, 1, C, TQ + 4, W + 6),
                                lambda b, t: (b, t, 0, 0, 0)),
-                  pl.BlockSpec((1, 1, TQ + 2, W),
+                  pl.BlockSpec((1, 1, TQ + 2, W + 4),
                                lambda b, t: (b, t, 0, 0))],
         out_specs=[pl.BlockSpec((1, 1, C, TQ, Wp),
                                 lambda b, t: (b, t, 0, 0, 0)),
