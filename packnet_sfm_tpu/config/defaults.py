@@ -211,6 +211,7 @@ def get_cfg_defaults():
     cfg.tpu.loss_dtype = 'float32'     # loss/geometry always fp32 islands
     cfg.tpu.use_pallas = False         # fused Pallas photometric kernel (A/B'd)
     cfg.tpu.donate_buffers = True      # donate params/opt state to train step
+    cfg.tpu.device_augment = False     # run color jitter on-device in the step
     cfg.tpu.prefetch = 2               # host->device prefetch depth
 
     # ------------------------------------------------------------- book-keeping

@@ -109,7 +109,7 @@ def init_state(model, optimizer, batch, rng):
 
 
 def make_train_step(model, optimizer, mesh=None, donate=True,
-                    loss_scale=None):
+                    augment_fn=None):
     """
     Build the jitted train step:
         (state, batch, rng, progress) -> (state, metrics)
@@ -117,7 +117,8 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
     With `mesh`, the state is replicated and the batch sharded over 'data';
     XLA inserts the ICI gradient all-reduce. Non-finite losses skip the
     update (the TPU analogue of the reference's anomaly guard,
-    horovod_trainer.py:268-277, without host sync).
+    horovod_trainer.py:268-277, without host sync). `augment_fn(batch, key)`
+    runs on-device inside the step (ops/augment.py).
     """
 
     def loss_fn(params, batch_stats, batch, rng, progress, epoch):
@@ -129,6 +130,9 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
                              out['metrics'])
 
     def train_step(state, batch, rng, progress):
+        if augment_fn is not None:
+            rng, aug_key = jax.random.split(rng)
+            batch = augment_fn(batch, aug_key)
         (loss, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
                                    rng, progress, state.epoch)

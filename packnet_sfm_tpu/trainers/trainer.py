@@ -77,8 +77,11 @@ class Trainer:
     # ------------------------------------------------------------------ data
     def _make_loader(self, split):
         cfg = self.config.datasets[split]
-        datasets = setup_dataset(cfg, self.config.datasets.augmentation,
-                                 split)
+        aug_cfg = self.config.datasets.augmentation
+        if self.config.tpu.get('device_augment', False):
+            aug_cfg = aug_cfg.clone()
+            aug_cfg.jittering = ()  # jitter moves on-device (ops/augment.py)
+        datasets = setup_dataset(cfg, aug_cfg, split)
         if not datasets:
             return None
         from packnet_sfm_tpu.datasets.concat import ConcatDataset
@@ -121,9 +124,17 @@ class Trainer:
                 step=jnp.asarray(self.resume_state['step'], jnp.int32))
             self.current_epoch = int(self.resume_state['epoch'])
         self.state = replicate_state(self.state, self.mesh)
+        augment_fn = None
+        if self.config.tpu.get('device_augment', False):
+            jit_params = tuple(self.config.datasets.augmentation.jittering
+                               or ())
+            if jit_params:
+                from packnet_sfm_tpu.ops.augment import device_color_jitter
+                augment_fn = lambda b, k: device_color_jitter(  # noqa: E731
+                    b, k, jit_params)
         self.train_step = make_train_step(
             self.model, self.optimizer, mesh=self.mesh,
-            donate=self.config.tpu.donate_buffers)
+            donate=self.config.tpu.donate_buffers, augment_fn=augment_fn)
         self.eval_step = make_eval_step(self.model, mesh=self.mesh)
 
     # ------------------------------------------------------------------- fit
