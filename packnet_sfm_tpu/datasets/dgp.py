@@ -210,8 +210,6 @@ def stack_sample(samples):
 def fold_multicam_batch(batch):
     """(B,N,...) -> (B*N,...) for multi-camera rigs
     (reference: models/model_utils.py:68-94)."""
-    import jax.numpy as jnp
-
     def fold(x):
         if hasattr(x, 'ndim') and x.ndim >= 3:
             return x.reshape((-1,) + tuple(x.shape[2:]))

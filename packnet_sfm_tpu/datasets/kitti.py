@@ -17,7 +17,6 @@ Context GT poses are returned as target->context relative transforms
 """
 
 import os
-from collections import namedtuple
 
 import numpy as np
 

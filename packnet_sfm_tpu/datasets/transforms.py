@@ -203,7 +203,6 @@ def _adjust_saturation(img, f):
 
 
 def _adjust_hue(img, f):
-    import colorsys  # noqa: F401 (documented fallback)
     # cheap HSV hue rotation
     maxc = img.max(axis=-1)
     minc = img.min(axis=-1)

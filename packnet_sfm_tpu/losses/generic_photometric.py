@@ -16,7 +16,6 @@ in, and when absent a pinhole template is derived from the batch intrinsics
 """
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ gather-heavy warp is the Pallas-kernel candidate (ops/pallas).
 """
 
 import dataclasses
-from typing import Tuple
 
 import numpy as np
 import jax.numpy as jnp

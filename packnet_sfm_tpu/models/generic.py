@@ -6,9 +6,7 @@ The depth net (RaySurfaceResNet) outputs inverse depths + a learned per-pixel
 ray surface; the photometric loss projects with the softmax GenericCamera.
 """
 
-from typing import Optional
 
-from flax import linen as nn
 
 from packnet_sfm_tpu.models.sfm import SfmModel
 from packnet_sfm_tpu.losses.generic_photometric import (

@@ -23,7 +23,7 @@ Batches are dicts of NHWC arrays:
   depth, input_depth, mask, pose_context (list of [B,4,4]).
 """
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

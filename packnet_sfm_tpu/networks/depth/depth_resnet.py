@@ -5,7 +5,6 @@ Returns scaled inverse depths via disp_to_depth (0.1-100m), unlike the SAN
 nets which return raw sigmoids.
 """
 
-from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

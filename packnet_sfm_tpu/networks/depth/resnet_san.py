@@ -18,7 +18,7 @@ EnhancedMinkowskiEncoder is a half-finished stub whose fallback fabricates
 random tensors (enhanced_minkowski_encoder.py:94-115) — see SURVEY.md §2.6.
 """
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ Channel interleave order after the Conv3D flatten differs from torch's
 weights; irrelevant for from-scratch training, documented for ckpt interop.
 """
 
-from functools import partial
 
 import jax.numpy as jnp
 from flax import linen as nn

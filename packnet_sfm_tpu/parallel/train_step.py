@@ -14,8 +14,7 @@ epoch. Gradient clipping honours cfg.arch.clip_grad (declared but dead in the
 reference trainer — live here).
 """
 
-import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -31,12 +31,12 @@ from packnet_sfm_tpu.models import setup_model
 from packnet_sfm_tpu.parallel.mesh import (
     make_mesh, shard_batch, replicate_state, rank)
 from packnet_sfm_tpu.parallel.train_step import (
-    make_optimizer, make_train_step, make_eval_step, init_state, TrainState)
+    make_optimizer, make_train_step, make_eval_step, init_state)
 from packnet_sfm_tpu.ops.depth import (
     sigmoid_to_inv_depth, inv2depth, compute_depth_metrics,
-    dual_head_to_depth, post_process_inv_depth)
+    dual_head_to_depth)
 from packnet_sfm_tpu.utils.checkpoint import (
-    ModelCheckpoint, save_checkpoint, load_checkpoint)
+    ModelCheckpoint, load_checkpoint)
 from packnet_sfm_tpu.utils.logging_utils import (
     print_metrics_table, METRIC_NAMES, pcolor)
 from packnet_sfm_tpu.datasets import setup_dataset
