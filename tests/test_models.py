@@ -129,3 +129,44 @@ def test_eval_mode_returns_predictions():
     out = model.apply(variables, batch, train=False)
     assert len(out['inv_depths']) == 1
     assert out['inv_depths'][0].shape == (B, H, W, 1)
+
+
+def test_resnet50_bottleneck_variant():
+    """ResNet-50 (Bottleneck) encoder path with scaled decoder channels."""
+    rng = np.random.RandomState(6)
+    cfg = build_cfg('SelfSupModel')
+    cfg.model.depth_net.version = '50A'
+    batch = make_batch(rng, with_depth=False)
+    model = setup_model(cfg)
+    rngs = {'params': jax.random.PRNGKey(0), 'flip': jax.random.PRNGKey(1)}
+    variables = model.init(rngs, batch, train=True)
+    out = model.apply(variables, batch, train=False)
+    assert out['inv_depths'][0].shape == (B, H, W, 1)
+
+
+def test_flip_tta_probability_one():
+    """flip_lr_prob=1 must keep outputs finite and at the right shapes
+    (flip applied to input, flipped back on output)."""
+    rng = np.random.RandomState(7)
+    cfg = build_cfg('SelfSupModel')
+    cfg.model.loss.flip_lr_prob = 1.0
+    batch = make_batch(rng, with_depth=False)
+    model = setup_model(cfg)
+    assert model.flip_lr_prob == 1.0
+    rngs = {'params': jax.random.PRNGKey(0), 'flip': jax.random.PRNGKey(1)}
+    variables = model.init(rngs, batch, train=True)
+    out, _ = model.apply(variables, batch, train=True,
+                         rngs={'flip': jax.random.PRNGKey(5)},
+                         mutable=['batch_stats'])
+    assert np.isfinite(float(out['loss']))
+
+
+def test_velsup_model():
+    rng = np.random.RandomState(8)
+    cfg = build_cfg('VelSupModel')
+    batch = make_batch(rng, with_depth=False)
+    T = np.tile(np.eye(4, dtype=np.float32)[None], (B, 1, 1))
+    T[:, 0, 3] = 0.5
+    batch['pose_context'] = [jnp.asarray(T), jnp.asarray(T)]
+    _, _, loss, _ = init_and_loss(cfg, batch)
+    assert np.isfinite(loss) and loss > 0
