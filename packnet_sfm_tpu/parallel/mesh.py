@@ -47,17 +47,27 @@ def batch_sharded(mesh, axis='data'):
     return NamedSharding(mesh, P(axis))
 
 
-def shard_batch(batch, mesh, axis='data'):
-    """Place a host batch dict onto the mesh, batch-dim sharded. Arrays whose
-    leading dim isn't divisible by the data axis fall back to replication
-    (small eval batches)."""
+def shard_batch(batch, mesh, axis='data', spatial_axis=None):
+    """
+    Place a host batch dict onto the mesh, batch-dim sharded; with
+    `spatial_axis` (a second mesh axis), image H is sharded as well — the
+    SPMD partitioner then spatially partitions the convolutions and inserts
+    the halo exchanges over ICI automatically (the context-parallel
+    analogue for hi-res inputs, SURVEY.md §2.10/§5). Arrays whose dims
+    aren't divisible fall back to batch-only or full replication.
+    """
     n = mesh.shape[axis]
+    ns = mesh.shape[spatial_axis] if spatial_axis else 1
 
     def put(x):
         import jax.numpy as jnp
         x = jnp.asarray(x)
         if x.ndim == 0 or x.shape[0] % n != 0:
             return jax.device_put(x, replicated(mesh))
+        if (spatial_axis and x.ndim >= 3 and x.shape[1] % ns == 0
+                and x.shape[1] > ns):
+            spec = P(axis, spatial_axis, *([None] * (x.ndim - 2)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
         return jax.device_put(x, NamedSharding(
             mesh, P(axis, *([None] * (x.ndim - 1)))))
     return jax.tree_util.tree_map(put, batch)

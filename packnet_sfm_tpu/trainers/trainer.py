@@ -46,7 +46,8 @@ from packnet_sfm_tpu.datasets.loader import DataLoader
 def _to_device_batch(batch, mesh):
     batch = {k: v for k, v in batch.items()
              if k not in ('idx', 'filename', 'rgb_path')}
-    return shard_batch(batch, mesh)
+    spatial = 'spatial' if 'spatial' in mesh.axis_names else None
+    return shard_batch(batch, mesh, spatial_axis=spatial)
 
 
 class Trainer:
