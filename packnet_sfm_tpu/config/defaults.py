@@ -113,6 +113,7 @@ def get_cfg_defaults():
     cfg.model.params.max_depth = 100.0
     cfg.model.params.scale_output = 'resize'
     cfg.model.params.use_log_space = False
+    cfg.model.params.flip_tta = False  # flipped test-time augmentation at eval
 
     # ------------------------------------------------------------------- arch
     cfg.arch = CN()

@@ -256,6 +256,18 @@ class Trainer:
         modes = {}
         if 'inv_depths' in output:
             sig = output['inv_depths'][0]
+            if params.get('flip_tta', False):
+                # flipped TTA with lateral-ramp fusion
+                # (reference: utils/depth.py:201-255 post_process_inv_depth)
+                from packnet_sfm_tpu.ops.image import flip_lr
+                from packnet_sfm_tpu.ops.depth import post_process_inv_depth
+                flipped_batch = dict(batch)
+                flipped_batch['rgb'] = flip_lr(batch['rgb'])
+                if 'input_depth' in batch:
+                    flipped_batch['input_depth'] = flip_lr(
+                        batch['input_depth'])
+                out_f = self.eval_step(self.state, flipped_batch)
+                sig = post_process_inv_depth(sig, out_f['inv_depths'][0])
             maybe_log_disp_stats(sig)
             inv_lin = sigmoid_to_inv_depth(sig, params.min_depth,
                                            params.max_depth, False)

@@ -39,3 +39,13 @@ def test_quick_eval_runs(trainer_with_lidar, capsys):
     out = capsys.readouterr().out
     assert 'abs_rel RGB' in out
     assert 'RGB+LiDAR' in out  # synthetic samples carry input_depth
+
+
+def test_flip_tta_eval(trainer_with_lidar):
+    trainer, loader = trainer_with_lidar
+    trainer.config.model.params.flip_tta = True
+    try:
+        metrics = trainer.validate(loader)
+        assert np.isfinite(metrics['depth-abs_rel'])
+    finally:
+        trainer.config.model.params.flip_tta = False
