@@ -218,7 +218,6 @@ class Trainer:
         (reference: horovod_trainer.py:127-220)."""
         subset = self.config.arch.eval_subset_size
         seen, abs_rel_rgb, abs_rel_rgbd = 0, [], []
-        params = self.config.model.params
         for batch in val_loader:
             if seen >= subset:
                 break
