@@ -209,7 +209,8 @@ def get_cfg_defaults():
     cfg.tpu.mesh_shape = ()          # e.g. (8,) for 8-way data parallelism; () = all devices
     cfg.tpu.mesh_axes = ('data',)    # mesh axis names
     cfg.tpu.compute_dtype = 'float32'  # conv compute dtype ('bfloat16' on pods)
-    cfg.tpu.loss_dtype = 'float32'     # loss/geometry always fp32 islands
+    cfg.tpu.loss_dtype = 'float32'     # loss/geometry fp32 islands
+    cfg.tpu.photometric_dtype = 'float32'  # 'bfloat16' = 2.74x self-sup step
     cfg.tpu.use_pallas = False         # fused Pallas photometric kernel (A/B'd)
     cfg.tpu.donate_buffers = True      # donate params/opt state to train step
     cfg.tpu.device_augment = False     # run color jitter on-device in the step

@@ -70,6 +70,9 @@ class MultiViewPhotometricLoss:
     max_depth: float = 80.0
     inputs_are_sigmoids: bool = True  # fork behaviour; False = upstream inv-depths
     use_pallas: bool = False  # fused SSIM+L1 kernel (ops/pallas/photometric.py)
+    # 'bfloat16' runs the SSIM/L1 maps in half precision: measured 2.74x on
+    # the self-sup step (BENCH_NOTES.md). Default fp32 for reference parity.
+    photometric_dtype: str = 'float32'
 
     def __post_init__(self):
         if self.automask_loss:
@@ -97,6 +100,10 @@ class MultiViewPhotometricLoss:
     def _photometric(self, t_est, images, masks):
         """Per-pixel photometric maps [B,h,w,1] per scale."""
         out = []
+        lowp = self.photometric_dtype == 'bfloat16'
+        if lowp:
+            t_est = [t.astype(jnp.bfloat16) for t in t_est]
+            images = [t.astype(jnp.bfloat16) for t in images]
         for est, img, m in zip(t_est, images, masks):
             if self.use_pallas and self.ssim_loss_weight > 0.0:
                 from packnet_sfm_tpu.ops.pallas.photometric import \
@@ -115,7 +122,7 @@ class MultiViewPhotometricLoss:
                 photo = jnp.clip(photo, a_max=mean + self.clip_loss * std)
             if m is not None:
                 photo = photo * m
-            out.append(photo)
+            out.append(photo.astype(jnp.float32) if lowp else photo)
         return out
 
     def _reduce(self, photometric_losses):

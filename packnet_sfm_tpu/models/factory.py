@@ -97,6 +97,8 @@ def setup_model(config, prepared=True):
         min_depth=params_cfg.min_depth or 0.05,
         max_depth=params_cfg.max_depth or 80.0,
         use_pallas=bool(config.get('tpu', {}).get('use_pallas', False)),
+        photometric_dtype=str(config.get('tpu', {}).get(
+            'photometric_dtype', 'float32')),
     )
     supervised = SupervisedLoss(
         supervised_method=loss_cfg.supervised_method,

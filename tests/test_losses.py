@@ -198,3 +198,33 @@ def test_supervised_all_methods_run():
         out = SupervisedLoss(supervised_method=method,
                              loss_kwargs=kwargs)(pred, gt)
         assert np.isfinite(float(out['loss'])), method
+
+
+def test_photometric_bf16_close_to_fp32():
+    """bf16 photometric (the 2.74x fast path) stays within ~1% of fp32."""
+    import dataclasses
+    rng = np.random.RandomState(11)
+    image = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    ctx = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    sig = make_sigmoids(rng)
+    vec = np.zeros((B, 6), np.float32)
+    vec[:, 0] = 0.2
+    pose = Pose.from_vec(jnp.asarray(vec))
+    base = MultiViewPhotometricLoss(photometric_reduce_op='min',
+                                    automask_loss=True,
+                                    smooth_loss_weight=0.001)
+    lowp = dataclasses.replace(base, photometric_dtype='bfloat16')
+    v32 = float(base(image, [ctx], sig, [pose], K=make_K())['loss'])
+    v16 = float(lowp(image, [ctx], sig, [pose], K=make_K())['loss'])
+    assert abs(v32 - v16) / abs(v32) < 0.02
+
+    # gradients should agree directionally (cosine similarity > 0.99)
+    def loss_of(fn):
+        def f(s0):
+            return fn(image, [ctx], [s0] + sig[1:], [pose],
+                      K=make_K())['loss']
+        return jax.grad(f)(sig[0])
+    g32 = np.asarray(loss_of(base)).ravel()
+    g16 = np.asarray(loss_of(lowp)).ravel()
+    cos = np.dot(g32, g16) / (np.linalg.norm(g32) * np.linalg.norm(g16))
+    assert cos > 0.99
