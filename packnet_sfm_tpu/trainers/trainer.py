@@ -46,6 +46,12 @@ from packnet_sfm_tpu.datasets.loader import DataLoader
 def _to_device_batch(batch, mesh):
     batch = {k: v for k, v in batch.items()
              if k not in ('idx', 'filename', 'rgb_path')}
+    rgb = batch.get('rgb')
+    if rgb is not None and getattr(rgb, 'ndim', 0) == 5:
+        # multi-camera rigs: fold (B, N_cam) into the batch axis
+        # (reference: models/model_utils.py:68-94 stack_batch)
+        from packnet_sfm_tpu.datasets.dgp import fold_multicam_batch
+        batch = fold_multicam_batch(batch)
     spatial = 'spatial' if 'spatial' in mesh.axis_names else None
     return shard_batch(batch, mesh, spatial_axis=spatial)
 

@@ -252,3 +252,23 @@ def test_dgp_multicam_stack(tmp_path):
                     depth_type='', back_context=0, forward_context=0)
     s = ds[0]
     assert s['rgb'].shape == (2, H, W, 3)  # sensor axis stacked
+
+
+def test_multicam_fold_in_trainer_batch(tmp_path):
+    """DGP multi-cam batches fold (B,N) into the batch axis on device."""
+    import jax
+    from packnet_sfm_tpu.datasets.dgp import DGPDataset
+    from packnet_sfm_tpu.datasets.loader import DataLoader
+    from packnet_sfm_tpu.parallel.mesh import make_mesh
+    from packnet_sfm_tpu.trainers.trainer import _to_device_batch
+    root = make_dgp_tree(str(tmp_path))
+    ds = DGPDataset(path=root, cameras=['CAMERA_01', 'CAMERA_05'],
+                    depth_type='lidar')
+    loader = DataLoader(ds, batch_size=2, num_workers=1, drop_last=False)
+    batch = next(iter(loader))
+    assert batch['rgb'].shape[:2] == (2, 2)
+    mesh = make_mesh((1,), ('data',), devices=jax.devices()[:1])
+    dev = _to_device_batch(batch, mesh)
+    assert dev['rgb'].shape == (4, H, W, 3)
+    assert dev['depth'].shape == (4, H, W, 1)
+    assert dev['intrinsics'].shape == (4, 3, 3)
