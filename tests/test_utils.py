@@ -1,0 +1,67 @@
+"""Utility tests: partial loader, viz colormap, top-k checkpoint monitor."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from packnet_sfm_tpu.utils.load import load_network
+from packnet_sfm_tpu.utils.viz import viz_inv_depth
+from packnet_sfm_tpu.utils.checkpoint import ModelCheckpoint
+
+
+def test_load_network_partial_merge():
+    init = {'encoder': {'conv': {'kernel': np.zeros((3, 3, 3, 8))}},
+            'decoder': {'conv': {'kernel': np.zeros((3, 3, 8, 1))}}}
+    saved = {'encoder': {'conv': {'kernel': np.ones((3, 3, 3, 8))}},
+             'decoder': {'conv': {'kernel': np.ones((1, 1, 8, 1))}}}  # shape mismatch
+    merged, loaded, total = load_network(init, saved, verbose=False)
+    assert loaded == 1 and total == 2
+    assert float(jnp.sum(merged['encoder']['conv']['kernel'])) > 0
+    assert float(np.sum(merged['decoder']['conv']['kernel'])) == 0
+
+
+def test_load_network_prefix_tolerance():
+    init = {'conv': {'kernel': np.zeros((3, 3))}}
+    saved = {'model': {'conv': {'kernel': np.ones((3, 3))}}}
+    merged, loaded, _ = load_network(init, saved, verbose=False)
+    assert loaded == 1
+
+
+def test_viz_inv_depth():
+    inv = np.random.RandomState(0).rand(16, 24).astype(np.float32)
+    img = viz_inv_depth(inv)
+    assert img.shape == (16, 24, 3)
+    assert img.min() >= 0 and img.max() <= 1
+    # near (high inv depth) should differ in color from far
+    assert not np.allclose(img[np.unravel_index(inv.argmax(), inv.shape)],
+                           img[np.unravel_index(inv.argmin(), inv.shape)])
+
+
+class _FakeState:
+    """Minimal TrainState stand-in for checkpoint tests."""
+    params = {'w': np.zeros(3)}
+    batch_stats = {}
+    opt_state = {}
+    step = 0
+    epoch = 0
+
+
+def test_checkpoint_topk_eviction(tmp_path):
+    from packnet_sfm_tpu.config import get_cfg_defaults
+    cfg = get_cfg_defaults()
+    cb = ModelCheckpoint(str(tmp_path / '{epoch:02d}_{abs_rel:.3f}'),
+                         monitor='abs_rel', save_top_k=2, mode='auto')
+    assert cb.mode == 'min'
+    import os
+    for epoch, val in enumerate([0.5, 0.3, 0.4, 0.2]):
+        cb.check_and_save(cfg, _FakeState(), {'abs_rel': val}, epoch)
+    ckpts = sorted(f for f in os.listdir(str(tmp_path)) if f.endswith('.ckpt'))
+    assert len(ckpts) == 2
+    # best two survive: 0.2 and 0.3
+    assert any('0.200' in c for c in ckpts)
+    assert any('0.300' in c for c in ckpts)
+
+
+def test_checkpoint_mode_auto_max():
+    cb = ModelCheckpoint('/tmp/x/{epoch}', monitor='depth-a1', mode='auto')
+    assert cb.mode == 'max'
