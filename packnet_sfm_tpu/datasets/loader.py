@@ -57,6 +57,18 @@ class DataLoader:
     def set_epoch(self, epoch):
         """Reshuffle per epoch (DistributedSampler.set_epoch equivalent)."""
         self.epoch = epoch
+        self._consumed = 0
+
+    # -- deterministic mid-epoch resume --------------------------------------
+    def state_dict(self):
+        """Position for exact resume: shuffles are keyed by (seed, epoch), so
+        (epoch, batches consumed) replays deterministically."""
+        return {'epoch': self.epoch,
+                'batches_consumed': getattr(self, '_consumed', 0)}
+
+    def load_state_dict(self, state):
+        self.epoch = int(state.get('epoch', 0))
+        self._skip = int(state.get('batches_consumed', 0))
 
     def _indices(self):
         n = len(self.dataset)
@@ -77,12 +89,14 @@ class DataLoader:
     def __iter__(self):
         indices = self._indices()
         nb = len(self)
+        start = getattr(self, '_skip', 0)
+        self._skip = 0
         q = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(nb):
+                for b in range(start, nb):
                     chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
                     samples = list(pool.map(self.dataset.__getitem__, chunk))
                     q.put(self.collate_fn(samples))
@@ -90,8 +104,10 @@ class DataLoader:
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
+        self._consumed = start
         while True:
             item = q.get()
             if item is sentinel:
                 break
+            self._consumed += 1
             yield item

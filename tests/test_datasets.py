@@ -272,3 +272,20 @@ def test_multicam_fold_in_trainer_batch(tmp_path):
     assert dev['rgb'].shape == (4, H, W, 3)
     assert dev['depth'].shape == (4, H, W, 1)
     assert dev['intrinsics'].shape == (4, 3, 3)
+
+
+def test_loader_mid_epoch_resume():
+    """state_dict/load_state_dict replays the exact remaining batches."""
+    ds = SyntheticDataset(num_samples=12, height=8, width=8)
+    l1 = DataLoader(ds, batch_size=2, shuffle=True, seed=7, num_workers=1)
+    l1.set_epoch(3)
+    it = iter(l1)
+    seen = [next(it)['idx'].tolist() for _ in range(2)]
+    state = l1.state_dict()
+    rest_ref = [b['idx'].tolist() for b in it]
+
+    l2 = DataLoader(ds, batch_size=2, shuffle=True, seed=7, num_workers=1)
+    l2.load_state_dict(state)
+    rest = [b['idx'].tolist() for b in l2]
+    assert rest == rest_ref
+    assert state['batches_consumed'] == 2
