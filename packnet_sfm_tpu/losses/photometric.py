@@ -112,7 +112,9 @@ class MultiViewPhotometricLoss:
                     est, img, self.ssim_loss_weight, self.C1, self.C2)
             elif self.ssim_loss_weight > 0.0:
                 l1 = jnp.abs(est - img)
-                s = ssim_loss(est, img, self.C1, self.C2)
+                # clamp_variance only on the bf16 path (see ops/ssim.py)
+                s = ssim_loss(est, img, self.C1, self.C2,
+                              clamp_variance=lowp)
                 photo = (self.ssim_loss_weight * s.mean(axis=3, keepdims=True)
                          + (1 - self.ssim_loss_weight) * l1.mean(axis=3, keepdims=True))
             else:

@@ -10,8 +10,16 @@ import jax.numpy as jnp
 from packnet_sfm_tpu.ops.image import reflect_pad_2d, avg_pool_3x3
 
 
-def ssim(x, y, C1=1e-4, C2=9e-4):
-    """SSIM map of two [B,H,W,C] images; returns [B,H,W,C]."""
+def ssim(x, y, C1=1e-4, C2=9e-4, clamp_variance=False):
+    """SSIM map of two [B,H,W,C] images; returns [B,H,W,C].
+
+    clamp_variance: project the E[x^2]-mu^2 variance estimates onto >= 0.
+    A no-op in exact arithmetic; REQUIRED for bf16 inputs, where rounding of
+    E[x^2] (8 mantissa bits) drives the estimate negative once warped and
+    target converge, flipping the SSIM denominator's sign and NaN-ing the
+    backward pass (observed in training; fp32 stays unclamped for strict
+    reference parity).
+    """
     xp = reflect_pad_2d(x, 1)
     yp = reflect_pad_2d(y, 1)
 
@@ -25,6 +33,9 @@ def ssim(x, y, C1=1e-4, C2=9e-4):
     sigma_x = avg_pool_3x3(xp * xp) - mu_xx
     sigma_y = avg_pool_3x3(yp * yp) - mu_yy
     sigma_xy = avg_pool_3x3(xp * yp) - mu_xy
+    if clamp_variance:
+        sigma_x = jnp.maximum(sigma_x, 0.0)
+        sigma_y = jnp.maximum(sigma_y, 0.0)
 
     v1 = 2.0 * sigma_xy + C2
     v2 = sigma_x + sigma_y + C2
@@ -34,6 +45,7 @@ def ssim(x, y, C1=1e-4, C2=9e-4):
     return num / den
 
 
-def ssim_loss(x, y, C1=1e-4, C2=9e-4):
+def ssim_loss(x, y, C1=1e-4, C2=9e-4, clamp_variance=False):
     """Clamped SSIM distance (1-SSIM)/2 in [0,1] (reference loss form)."""
-    return jnp.clip((1.0 - ssim(x, y, C1, C2)) * 0.5, 0.0, 1.0)
+    return jnp.clip((1.0 - ssim(x, y, C1, C2, clamp_variance)) * 0.5,
+                    0.0, 1.0)
