@@ -108,6 +108,9 @@ class Trainer:
             ds, batch_size=cfg.batch_size, shuffle=(split == 'train'),
             seed=self.config.arch.seed, num_workers=cfg.num_workers,
             collate_fn=collate_fn,
+            # train keeps static shapes; eval sees every sample (the
+            # reference asserts all-samples-seen, utils/reduce.py:67-68)
+            drop_last=(split == 'train'),
             shard_index=jax.process_index(), num_shards=jax.process_count())
 
     # ----------------------------------------------------------------- setup

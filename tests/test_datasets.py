@@ -289,3 +289,12 @@ def test_loader_mid_epoch_resume():
     rest = [b['idx'].tolist() for b in l2]
     assert rest == rest_ref
     assert state['batches_consumed'] == 2
+
+
+def test_loader_drop_last_false_sees_all():
+    ds = SyntheticDataset(num_samples=7, height=8, width=8)
+    loader = DataLoader(ds, batch_size=2, num_workers=1, drop_last=False)
+    seen = sum(len(b['idx']) for b in loader)
+    assert seen == 7
+    loader2 = DataLoader(ds, batch_size=2, num_workers=1, drop_last=True)
+    assert sum(len(b['idx']) for b in loader2) == 6
