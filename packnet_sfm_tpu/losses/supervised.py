@@ -264,6 +264,7 @@ class SupervisedLoss:
         gt_scales = match_scales(gt_inv_depth, scale_shapes, n, mode='nearest')
         loss_fn = self._loss_fn()
 
+        metrics = {}
         if self.supervised_method.startswith('sparse'):
             total = 0.0
             for i in range(n):
@@ -272,8 +273,12 @@ class SupervisedLoss:
                     valid = valid * (masks[i] > 0).astype(valid.dtype)
                 pred_f = jnp.where(valid > 0, inv_depths[i], EPS)
                 gt_f = jnp.where(valid > 0, gt_scales[i], EPS)
-                total = total + loss_fn(pred_f, gt_f, valid,
-                                        progress=progress, epoch=epoch)
+                loss_i = loss_fn(pred_f, gt_f, valid,
+                                 progress=progress, epoch=epoch)
+                # per-scale logging (reference: supervised_loss.py:344-351)
+                metrics['s{}/loss'.format(i)] = loss_i
+                metrics['s{}/valid_ratio'.format(i)] = valid.mean()
+                total = total + loss_i
             loss = total / float(n)
         else:
             loss = sum(
@@ -281,4 +286,5 @@ class SupervisedLoss:
                         jnp.ones_like(gt_scales[i]), progress=progress,
                         epoch=epoch)
                 for i in range(n)) / float(n)
-        return {'loss': loss, 'metrics': {'supervised_loss': loss}}
+        metrics['supervised_loss'] = loss
+        return {'loss': loss, 'metrics': metrics}
