@@ -211,6 +211,9 @@ def get_cfg_defaults():
     cfg.tpu.compute_dtype = 'float32'  # conv compute dtype ('bfloat16' on pods)
     cfg.tpu.loss_dtype = 'float32'     # loss/geometry fp32 islands
     cfg.tpu.photometric_dtype = 'float32'  # 'bfloat16' = 2.74x self-sup step
+    # With bf16 photometric: switch to fp32 at this training-progress
+    # fraction for final-quality convergence (-1 = never switch).
+    cfg.tpu.photometric_fp32_progress = -1.0
     cfg.tpu.use_pallas = False         # fused Pallas photometric kernel (A/B'd)
     cfg.tpu.donate_buffers = True      # donate params/opt state to train step
     cfg.tpu.device_augment = False     # run color jitter on-device in the step

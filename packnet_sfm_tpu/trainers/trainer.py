@@ -163,6 +163,7 @@ class Trainer:
 
         for epoch in range(self.current_epoch, self.max_epochs):
             self.current_epoch = epoch
+            self._maybe_switch_precision(epoch)
             train_loader.set_epoch(epoch)
             t0 = time.time()
             train_metrics = self.train_epoch(train_loader, val_loader, epoch)
@@ -334,6 +335,26 @@ class Trainer:
         return self.validate(loader)
 
     # --------------------------------------------------------------- helpers
+    def _maybe_switch_precision(self, epoch):
+        """Progressive precision: bulk epochs at bf16 photometric, final
+        fraction at fp32 (tpu.photometric_fp32_progress; BENCH_NOTES.md —
+        bf16 trains 2.74x faster but converges slightly above fp32)."""
+        frac = float(self.config.tpu.get('photometric_fp32_progress', -1.0))
+        if (frac < 0 or
+                self.config.tpu.get('photometric_dtype') != 'bfloat16' or
+                epoch < frac * self.max_epochs or
+                getattr(self, '_precision_switched', False)):
+            return
+        self._precision_switched = True
+        print(pcolor('Switching photometric loss to fp32 at epoch {} '
+                     '(progress {:.0%})'.format(epoch, frac), 'yellow'))
+        self.config.tpu.photometric_dtype = 'float32'
+        self.model = setup_model(self.config)  # params unaffected; loss only
+        self.train_step = make_train_step(
+            self.model, self.optimizer, mesh=self.mesh,
+            donate=self.config.tpu.donate_buffers)
+        self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+
     def _maybe_load_pretrained(self):
         """ImageNet encoder init ('pt' version suffix, reference
         resnet_encoder.py:53-60) and per-network checkpoint_path partial

@@ -49,3 +49,18 @@ def test_flip_tta_eval(trainer_with_lidar):
         assert np.isfinite(metrics['depth-abs_rel'])
     finally:
         trainer.config.model.params.flip_tta = False
+
+
+def test_progressive_precision_switch(tmp_path):
+    """bf16 photometric switches to fp32 at the configured progress."""
+    from packnet_sfm_tpu.config import parse_train_config
+    from packnet_sfm_tpu.trainers.trainer import Trainer
+    cfg = parse_train_config('configs/overfit_synthetic.yaml')
+    cfg.arch.max_epochs = 2
+    cfg.tpu.photometric_dtype = 'bfloat16'
+    cfg.tpu.photometric_fp32_progress = 0.5  # switch at epoch 1
+    cfg.model.loss.supervised_loss_weight = 0.9
+    trainer = Trainer(cfg)
+    trainer.fit()
+    assert trainer._precision_switched
+    assert trainer.config.tpu.photometric_dtype == 'float32'
