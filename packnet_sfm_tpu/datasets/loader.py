@@ -71,7 +71,13 @@ class DataLoader:
         self._skip = int(state.get('batches_consumed', 0))
 
     def _indices(self):
+        import os
         n = len(self.dataset)
+        # debug sample-limit escape hatch
+        # (reference: model_wrapper.py:1170-1186 FORCE_LIMITS)
+        limit = int(os.environ.get('FORCE_DATASET_LIMIT', '0') or 0)
+        if limit > 0:
+            n = min(n, limit)
         idx = np.arange(n)
         if self.repeat > 1:
             idx = np.tile(idx, self.repeat)
