@@ -96,12 +96,48 @@ class KITTIDataset:
         split_file = os.path.join(path, split) if split else None
         assert split_file and os.path.isfile(split_file), \
             'KITTI split file not found: {}'.format(split_file)
+        self.paths = self._load_paths_cached(split_file)
+
+    def _load_paths_cached(self, split_file):
+        """Validated path list with an on-disk cache keyed by the split file
+        and options (reference: kitti_dataset_optimized.py:59-113 FileCache —
+        the eigen splits cost ~200k stat() calls without it). Disable with
+        KITTI_CACHE_DIR=''. """
+        import hashlib
+        import pickle
+        cache_dir = os.environ.get('KITTI_CACHE_DIR',
+                                   '/tmp/packnet_sfm_tpu_kitti_cache')
+        key = None
+        if cache_dir:
+            sig = '{}:{}:{}:{}:{}:{}'.format(
+                split_file, os.path.getmtime(split_file), self.depth_type,
+                self.input_depth_type, self.back_context,
+                self.forward_context)
+            key = os.path.join(cache_dir, hashlib.sha1(
+                sig.encode()).hexdigest() + '.pkl')
+            if os.path.isfile(key):
+                try:
+                    with open(key, 'rb') as f:
+                        return pickle.load(f)
+                except Exception:
+                    pass
         with open(split_file) as f:
             lines = [l.strip().split()[0] for l in f if l.strip()]
-        paths = [os.path.join(path, l) for l in lines]
-        paths = [p for p in paths if os.path.isfile(p)]
-        # keep only frames whose full context + requested depths exist
-        self.paths = [p for p in paths if self._valid(p)]
+        paths = [os.path.join(self.root, l) for l in lines]
+        # validate in parallel (stat-bound; threads release the GIL)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(16) as pool:
+            ok = list(pool.map(
+                lambda p: os.path.isfile(p) and self._valid(p), paths))
+        paths = [p for p, o in zip(paths, ok) if o]
+        if key:
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                with open(key, 'wb') as f:
+                    pickle.dump(paths, f)
+            except OSError:
+                pass
+        return paths
 
     # ------------------------------------------------------------- file maps
     @staticmethod

@@ -79,6 +79,29 @@ def replicate_state(state, mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
 
 
+def prefetch_to_device(iterator, mesh, size=2, spatial_axis=None,
+                       transform=None):
+    """
+    Keep `size` batches resident on device ahead of consumption, overlapping
+    H2D transfer with the device step (the tf.data/grain device-prefetch
+    idiom; device_put is async so this pipeline is free).
+    """
+    import collections
+    buf = collections.deque()
+
+    def put(b):
+        if transform is not None:
+            b = transform(b)
+        return shard_batch(b, mesh, spatial_axis=spatial_axis)
+
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 # -- reference-compatible rank/size shims (world is one jit program on TPU) --
 
 def rank():

@@ -43,17 +43,21 @@ from packnet_sfm_tpu.datasets import setup_dataset
 from packnet_sfm_tpu.datasets.loader import DataLoader
 
 
-def _to_device_batch(batch, mesh):
+def _host_prepare(batch):
+    """Drop host-only keys; fold multi-camera rigs into the batch axis
+    (reference: models/model_utils.py:68-94 stack_batch)."""
     batch = {k: v for k, v in batch.items()
              if k not in ('idx', 'filename', 'rgb_path')}
     rgb = batch.get('rgb')
     if rgb is not None and getattr(rgb, 'ndim', 0) == 5:
-        # multi-camera rigs: fold (B, N_cam) into the batch axis
-        # (reference: models/model_utils.py:68-94 stack_batch)
         from packnet_sfm_tpu.datasets.dgp import fold_multicam_batch
         batch = fold_multicam_batch(batch)
+    return batch
+
+
+def _to_device_batch(batch, mesh):
     spatial = 'spatial' if 'spatial' in mesh.axis_names else None
-    return shard_batch(batch, mesh, spatial_axis=spatial)
+    return shard_batch(_host_prepare(batch), mesh, spatial_axis=spatial)
 
 
 class Trainer:
@@ -200,11 +204,16 @@ class Trainer:
         rng = jax.random.PRNGKey(self.config.arch.seed * 1000 + epoch)
         self.state = self.state.replace(epoch=jnp.asarray(epoch, jnp.int32))
         from packnet_sfm_tpu.utils.profiling import StepTimer
+        from packnet_sfm_tpu.parallel.mesh import prefetch_to_device
         timer = StepTimer()
-        for i, batch in enumerate(loader):
+        spatial = 'spatial' if 'spatial' in self.mesh.axis_names else None
+        device_iter = prefetch_to_device(
+            iter(loader), self.mesh,
+            size=max(1, self.config.tpu.get('prefetch', 2)),
+            spatial_axis=spatial, transform=_host_prepare)
+        for i, batch in enumerate(device_iter):
             timer.data_ready()
             progress = (epoch + i / n) / max(self.max_epochs, 1)
-            batch = _to_device_batch(batch, self.mesh)
             rng, sub = jax.random.split(rng)
             self.state, metrics = self.train_step(self.state, batch, sub,
                                                   progress)
