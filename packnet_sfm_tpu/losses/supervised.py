@@ -97,9 +97,11 @@ def enhanced_ssi_loss(pred, gt, mask, alpha=0.85, l1_weight=0.2,
 
 def progressive_ssi_loss(pred, gt, mask, alpha=0.85, max_l1_weight=0.3,
                          transition_epochs=15, epoch=0):
-    """Epoch-scheduled SSI/L1 mix (ssi_loss_enhanced.py:136-200)."""
-    lw = max_l1_weight if epoch >= transition_epochs else \
-        (epoch / transition_epochs) * max_l1_weight
+    """Epoch-scheduled SSI/L1 mix (ssi_loss_enhanced.py:136-200).
+    jit-safe: `epoch` may be a traced scalar (state.epoch)."""
+    frac = jnp.minimum(jnp.asarray(epoch, jnp.float32) / transition_epochs,
+                       1.0)
+    lw = frac * max_l1_weight
     sw = 1.0 - lw
     m = mask.astype(pred.dtype)
     s = ssi_loss(pred, gt, mask, alpha)

@@ -228,3 +228,21 @@ def test_photometric_bf16_close_to_fp32():
     g16 = np.asarray(loss_of(lowp)).ravel()
     cos = np.dot(g32, g16) / (np.linalg.norm(g32) * np.linalg.norm(g16))
     assert cos > 0.99
+
+
+def test_progressive_ssi_jit_safe_with_traced_epoch():
+    """sparse-progressive-ssi must work with a TRACED epoch (state.epoch)."""
+    rng = np.random.RandomState(12)
+    pred = [jnp.asarray(rng.rand(B, H, W, 1).astype(np.float32) + 0.1)]
+    gt = jnp.asarray(rng.rand(B, H, W, 1).astype(np.float32) + 0.1)
+    loss_obj = SupervisedLoss(supervised_method='sparse-progressive-ssi',
+                              supervised_num_scales=1)
+
+    @jax.jit
+    def f(epoch):
+        return loss_obj(pred, gt, epoch=epoch)['loss']
+
+    v0 = float(f(jnp.asarray(0, jnp.int32)))
+    v20 = float(f(jnp.asarray(20, jnp.int32)))
+    assert np.isfinite(v0) and np.isfinite(v20)
+    assert v0 != v20  # schedule actually changes the mix
