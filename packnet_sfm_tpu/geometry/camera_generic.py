@@ -97,9 +97,13 @@ class GenericCamera:
         d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
         logits = jnp.einsum('bnc,bnkc->bnk', d, patch_rays)
 
-        # annealed softmax temperature (camera_generic.py:117-119,190-192)
+        # annealed softmax temperature (camera_generic.py:117-119,190-192);
+        # jit-safe: progress may be traced
         min_temp, start_temp, constant = 1e-8, 1e-4, 0.1
-        temperature = max(min_temp, start_temp / np.exp(constant * progress))
+        temperature = jnp.maximum(
+            min_temp,
+            start_temp / jnp.exp(constant * jnp.asarray(progress,
+                                                        jnp.float32)))
         w = jax.nn.softmax(logits / temperature, axis=-1)
 
         expected = jnp.einsum('bnk,nkc->bnc', w, coords.astype(jnp.float32))

@@ -50,8 +50,9 @@ class GenericMultiViewPhotometricLoss(MultiViewPhotometricLoss):
             template = pinhole_ray_surface(K, H, W, image.dtype)
         else:
             template = ray_template
-        coeff = float(np.minimum((100.0 * progress) ** (4.0 / 3.0) / 100.0,
-                                 1.0))
+        # residual ramp coeff (reference :192-194); jit-safe traced progress
+        p = jnp.asarray(progress, jnp.float32)
+        coeff = jnp.minimum((100.0 * p) ** (4.0 / 3.0) / 100.0, 1.0)
         rmat = template + coeff * residual
         rmat = rmat / jnp.maximum(
             jnp.linalg.norm(rmat, axis=-1, keepdims=True), 1e-8)

@@ -49,7 +49,18 @@ class ProgressiveScaling:
     def __call__(self, progress):
         if self.breaks is None:
             return self.num_scales
-        return int(self.num_scales - np.searchsorted(self.breaks, progress))
+        # num_scales is STRUCTURAL (list lengths under jit) -> progress must
+        # be concrete here. The trainer passes static (quantized) progress
+        # when progressive_scaling > 0.
+        import jax.core
+        if isinstance(progress, jax.core.Tracer):
+            raise TypeError(
+                'progressive_scaling > 0 needs a static progress value '
+                '(the number of scales changes the traced structure); '
+                'the trainer quantizes progress to the scale boundaries '
+                'and re-jits — do not trace progress through this path.')
+        return int(self.num_scales - np.searchsorted(self.breaks,
+                                                     float(progress)))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -78,14 +78,15 @@ def ssi_loss(pred, gt, mask, alpha=0.85):
 
 def enhanced_ssi_loss(pred, gt, mask, alpha=0.85, l1_weight=0.2,
                       ssi_weight=0.8, progress=None):
-    """SSI + L1-in-depth mix with adaptive weights (ssi_loss_enhanced.py:10-134)."""
+    """SSI + L1-in-depth mix with adaptive weights (ssi_loss_enhanced.py:10-134).
+    jit-safe: `progress` may be a traced scalar."""
     m = mask.astype(pred.dtype)
     s = ssi_loss(pred, gt, mask, alpha)
     pred_d = 1.0 / (pred + 1e-6)
     gt_d = 1.0 / (gt + 1e-6)
     l1 = _masked_mean(jnp.abs(pred_d - gt_d), m)
     if progress is not None:
-        p = min(max(float(progress), 0.0), 1.0)
+        p = jnp.clip(jnp.asarray(progress, jnp.float32), 0.0, 1.0)
         sw = ssi_weight + (1.0 - p) * 0.1
         lw = l1_weight + p * 0.1
         tot = sw + lw

@@ -108,7 +108,7 @@ def init_state(model, optimizer, batch, rng):
 
 
 def make_train_step(model, optimizer, mesh=None, donate=True,
-                    augment_fn=None):
+                    augment_fn=None, static_progress=False):
     """
     Build the jitted train step:
         (state, batch, rng, progress) -> (state, metrics)
@@ -152,14 +152,19 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
+    # progressive_scaling changes the traced structure (number of scales) ->
+    # progress becomes a static arg; the trainer quantizes it to the scale
+    # boundaries so at most num_scales variants compile.
+    static_argnums = (3,) if static_progress else ()
     if mesh is not None:
         rep = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P('data'))
         return jax.jit(
             train_step,
             donate_argnums=donate_argnums,
+            static_argnums=static_argnums,
             out_shardings=(rep, rep))
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    return jax.jit(train_step, donate_argnums=donate_argnums,
+                   static_argnums=static_argnums)
 
 
 def make_eval_step(model, mesh=None):

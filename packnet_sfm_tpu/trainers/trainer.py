@@ -146,10 +146,24 @@ class Trainer:
                 from packnet_sfm_tpu.ops.augment import device_color_jitter
                 augment_fn = lambda b, k: device_color_jitter(  # noqa: E731
                     b, k, jit_params)
+        self._progressive = float(
+            self.config.model.loss.get('progressive_scaling', 0.0))
         self.train_step = make_train_step(
             self.model, self.optimizer, mesh=self.mesh,
-            donate=self.config.tpu.donate_buffers, augment_fn=augment_fn)
+            donate=self.config.tpu.donate_buffers, augment_fn=augment_fn,
+            static_progress=self._progressive > 0.0)
         self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+
+    def _quantize_progress(self, progress):
+        """With progressive_scaling > 0 progress is static (structural):
+        quantize to the scale boundaries so only num_scales variants jit."""
+        if self._progressive <= 0.0:
+            return progress
+        from packnet_sfm_tpu.losses.photometric import ProgressiveScaling
+        ps = ProgressiveScaling(self._progressive, 4)
+        n = ps(progress)
+        boundary = (4 - n)  # index of the last crossed break
+        return 0.0 if boundary == 0 else float(ps.breaks[boundary - 1])
 
     # ------------------------------------------------------------------- fit
     def fit(self):
@@ -213,7 +227,8 @@ class Trainer:
             spatial_axis=spatial, transform=_host_prepare)
         for i, batch in enumerate(device_iter):
             timer.data_ready()
-            progress = (epoch + i / n) / max(self.max_epochs, 1)
+            progress = self._quantize_progress(
+                (epoch + i / n) / max(self.max_epochs, 1))
             rng, sub = jax.random.split(rng)
             self.state, metrics = self.train_step(self.state, batch, sub,
                                                   progress)

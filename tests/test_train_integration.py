@@ -117,3 +117,22 @@ def test_eval_step():
     state = init_state(model, optimizer, batch, jax.random.PRNGKey(0))
     out = make_eval_step(model)(state, batch)
     assert out['inv_depths'][0].shape == (2, 32, 64, 1)
+
+
+def test_progressive_scaling_trains_with_static_progress():
+    """progressive_scaling > 0 drops scales over progress and trains
+    (static-progress jit path; at most num_scales recompiles)."""
+    cfg = small_cfg()
+    cfg.model.name = 'SelfSupModel'
+    cfg.model.loss.progressive_scaling = 0.3  # 4->3->2->1 scales
+    model = setup_model(cfg)
+    ds = SyntheticDataset(num_samples=2, height=32, width=64)
+    batch = to_jnp(next(iter(DataLoader(ds, batch_size=2, num_workers=1))))
+    batch.pop('idx')
+    optimizer = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, 10)
+    state = init_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer, donate=False,
+                           static_progress=True)
+    for progress in [0.0, 0.35, 0.65, 0.95]:
+        state, metrics = step(state, batch, jax.random.PRNGKey(1), progress)
+        assert np.isfinite(float(metrics['loss'])), progress
