@@ -71,11 +71,11 @@ def main():
 
     key = jax.random.PRNGKey(1)
     # warmup + compile
-    for i in range(3):
+    for i in range(5):
         state, metrics = step(state, dev_batch, jax.random.fold_in(key, i), 0.0)
     jax.block_until_ready(metrics['loss'])
 
-    iters = 20
+    iters = 40
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, dev_batch,
