@@ -148,9 +148,18 @@ class Trainer:
                     b, k, jit_params)
         self._progressive = float(
             self.config.model.loss.get('progressive_scaling', 0.0))
+        self._augment_fn = augment_fn
+        self._build_steps()
+
+    def _build_steps(self):
+        """Single source of truth for the jitted step builders — every
+        rebuild (setup, precision switch) must pass identical kwargs, else
+        on-device augmentation / static-progress handling silently diverge
+        after the rebuild."""
         self.train_step = make_train_step(
             self.model, self.optimizer, mesh=self.mesh,
-            donate=self.config.tpu.donate_buffers, augment_fn=augment_fn,
+            donate=self.config.tpu.donate_buffers,
+            augment_fn=self._augment_fn,
             static_progress=self._progressive > 0.0)
         self.eval_step = make_eval_step(self.model, mesh=self.mesh)
 
@@ -374,10 +383,7 @@ class Trainer:
                      '(progress {:.0%})'.format(epoch, frac), 'yellow'))
         self.config.tpu.photometric_dtype = 'float32'
         self.model = setup_model(self.config)  # params unaffected; loss only
-        self.train_step = make_train_step(
-            self.model, self.optimizer, mesh=self.mesh,
-            donate=self.config.tpu.donate_buffers)
-        self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+        self._build_steps()
 
     def _maybe_load_pretrained(self):
         """ImageNet encoder init ('pt' version suffix, reference

@@ -64,3 +64,22 @@ def test_progressive_precision_switch(tmp_path):
     trainer.fit()
     assert trainer._precision_switched
     assert trainer.config.tpu.photometric_dtype == 'float32'
+
+
+def test_precision_switch_keeps_augment_and_static_progress():
+    """Regression: the precision-switch rebuild must pass the SAME kwargs as
+    setup() — before the fix it dropped augment_fn (on-device jitter silently
+    stopped) and static_progress (ProgressiveScaling then raised on a traced
+    progress in the first post-switch step)."""
+    cfg = parse_train_config('configs/overfit_synthetic.yaml')
+    cfg.arch.max_epochs = 3
+    cfg.tpu.photometric_dtype = 'bfloat16'
+    cfg.tpu.photometric_fp32_progress = 0.4     # switch at epoch 2
+    cfg.tpu.device_augment = True
+    cfg.datasets.augmentation.jittering = (0.2, 0.2, 0.2, 0.05)
+    cfg.model.loss.supervised_loss_weight = 0.9
+    cfg.model.loss.progressive_scaling = 0.3
+    trainer = Trainer(cfg)
+    trainer.fit()                                # raises before the fix
+    assert trainer._precision_switched
+    assert trainer._augment_fn is not None
