@@ -85,12 +85,19 @@ def get_cfg_defaults():
     cfg.model.depth_net.use_neck_features = False
     cfg.model.depth_net.use_imagenet_pretrained = False
     cfg.model.depth_net.use_depth_neck = False
+    # TPU additions: 'pt' versions FAIL unless weights are found (fail-loud,
+    # the reference's accuracy depends on pretrained encoders); opt out with
+    # allow_random_init or point weights_path at a state_dict file.
+    cfg.model.depth_net.allow_random_init = False
+    cfg.model.depth_net.weights_path = ''
 
     cfg.model.pose_net = CN()
     cfg.model.pose_net.name = ''
     cfg.model.pose_net.checkpoint_path = ''
     cfg.model.pose_net.version = ''
     cfg.model.pose_net.dropout = 0.0
+    cfg.model.pose_net.allow_random_init = False
+    cfg.model.pose_net.weights_path = ''
 
     cfg.model.optimizer = CN()
     cfg.model.optimizer.name = 'Adam'
@@ -198,6 +205,7 @@ def get_cfg_defaults():
     cfg.wandb.tags = []
     cfg.wandb.dir = ''
     cfg.wandb.url = ''
+    cfg.wandb.mode = ''  # '', 'online', 'offline', 'disabled' (TPU addition)
 
     cfg.tensorboard = CN()
     cfg.tensorboard.dry_run = True

@@ -18,7 +18,8 @@ def setup_loggers(config):
             name=config.wandb.name or config.name,
             project=config.wandb.project, entity=config.wandb.entity,
             tags=list(config.wandb.tags), dir=config.wandb.dir,
-            config=config.to_dict())
+            config=config.to_dict(),
+            mode=config.wandb.get('mode', ''))
     if not config.tensorboard.get('dry_run', True):
         return TensorboardLogger(
             log_dir=config.tensorboard.log_dir or 'runs',

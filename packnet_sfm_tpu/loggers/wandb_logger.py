@@ -1,16 +1,22 @@
 """W&B logger (reference: loggers/wandb_logger.py:18-120); degrades to a
-no-op when wandb is unavailable or offline."""
+no-op only when wandb itself is unavailable."""
 
 
 class WandbLogger:
     def __init__(self, name='', project='', entity='', tags=(), dir='',
-                 config=None):
+                 config=None, mode=''):
+        """mode: '' lets wandb decide (online with credentials, else its own
+        fallback), 'offline'/'disabled'/'online' force it (cfg.wandb.dry_run
+        maps to 'offline' — reference gates runs the same way via dry_run)."""
         try:
             import wandb
-            self.run = wandb.init(
+            kwargs = dict(
                 name=name or None, project=project or None,
                 entity=entity or None, tags=list(tags) or None,
-                dir=dir or None, config=config, mode='offline')
+                dir=dir or None, config=config)
+            if mode:
+                kwargs['mode'] = mode
+            self.run = wandb.init(**kwargs)
             self._wandb = wandb
         except Exception as e:  # pragma: no cover - env without wandb
             print('[WandbLogger] disabled ({})'.format(e))
@@ -28,11 +34,29 @@ class WandbLogger:
                          step=step)
 
     def log_config(self, config):
-        pass  # passed at init
+        """Merge a (possibly updated) config tree into the run config
+        (reference: wandb_logger.py log_config)."""
+        if self.run is not None:
+            try:
+                cfg = config if isinstance(config, dict) else dict(config)
+            except (TypeError, ValueError):
+                cfg = {'config': repr(config)}
+            self.run.config.update(_flatten(cfg), allow_val_change=True)
 
     def finish(self):
         if self.run is not None:
             self.run.finish()
+
+
+def _flatten(tree, prefix=''):
+    out = {}
+    for k, v in tree.items():
+        key = '{}.{}'.format(prefix, k) if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
 
 
 def _is_num(v):

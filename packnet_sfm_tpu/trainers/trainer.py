@@ -385,32 +385,64 @@ class Trainer:
         self.model = setup_model(self.config)  # params unaffected; loss only
         self._build_steps()
 
+    def _load_pretrained_into(self, net_key, loader):
+        """Apply `loader(sub_variables) -> sub_variables` to the net_key
+        ('depth_net'/'pose_net') subtree of the train state."""
+        params = dict(self.state.params)
+        stats = dict(self.state.batch_stats)
+        if net_key not in params:
+            return
+        sub = {'params': params[net_key],
+               'batch_stats': stats.get(net_key, {})}
+        sub = loader(sub)
+        params[net_key] = sub['params']
+        stats[net_key] = sub['batch_stats']
+        self.state = self.state.replace(params=params, batch_stats=stats)
+
     def _maybe_load_pretrained(self):
-        """ImageNet encoder init ('pt' version suffix, reference
-        resnet_encoder.py:53-60) and per-network checkpoint_path partial
-        loads (reference model_wrapper.py setup_depth_net/pose_net)."""
+        """ImageNet/COCO encoder init ('pt' version suffix, reference
+        resnet_encoder.py:53-60; YOLOv8 weights, YOLOv8SAN01.py:219-238) and
+        per-network checkpoint_path partial loads (reference model_wrapper.py
+        setup_depth_net/pose_net).
+
+        FAIL-LOUD: a 'pt' config whose weights are missing raises
+        PretrainedWeightsNotFound unless model.<net>.allow_random_init is
+        true — the reference's accuracy numbers depend on these weights, so
+        silently training from random init is never the right default."""
+        from packnet_sfm_tpu.export.torch_import import (
+            load_pretrained_encoder, load_pretrained_yolov8)
+
         dn_cfg = self.config.model.depth_net
         version = dn_cfg.version or ''
-        if version.endswith('pt') or dn_cfg.get('use_imagenet_pretrained'):
-            from packnet_sfm_tpu.export.torch_import import \
-                load_pretrained_encoder
-            try:
-                num_layers = int(version[:2]) if version[:2].isdigit() else 18
-                variables = {'params': dict(self.state.params),
-                             'batch_stats': dict(self.state.batch_stats)}
-                if 'depth_net' in variables['params'] and \
-                        'encoder' in variables['params']['depth_net']:
-                    sub = {'params': variables['params']['depth_net'],
-                           'batch_stats':
-                               variables['batch_stats'].get('depth_net', {})}
-                    sub = load_pretrained_encoder(sub, num_layers)
-                    variables['params']['depth_net'] = sub['params']
-                    variables['batch_stats']['depth_net'] = sub['batch_stats']
-                    self.state = self.state.replace(
-                        params=variables['params'],
-                        batch_stats=variables['batch_stats'])
-            except Exception as e:
-                print('[pretrained] skipped ({})'.format(e))
+        allow_random = bool(dn_cfg.get('allow_random_init', False))
+        weights_path = dn_cfg.get('weights_path', '') or None
+        if dn_cfg.name.startswith('YOLOv8') and \
+                dn_cfg.get('use_imagenet_pretrained'):
+            self._load_pretrained_into(
+                'depth_net',
+                lambda sub: load_pretrained_yolov8(
+                    sub, variant=dn_cfg.get('variant', 's'),
+                    weights_path=weights_path,
+                    required=not allow_random))
+        elif version.endswith('pt') or dn_cfg.get('use_imagenet_pretrained'):
+            num_layers = int(version[:2]) if version[:2].isdigit() else 18
+            self._load_pretrained_into(
+                'depth_net',
+                lambda sub: (load_pretrained_encoder(
+                    sub, num_layers, weights_path=weights_path,
+                    required=not allow_random)
+                    if 'encoder' in sub['params'] else sub))
+        pn_cfg = self.config.model.pose_net
+        pn_version = pn_cfg.get('version', '') or ''
+        if pn_cfg.name == 'PoseResNet' and pn_version.endswith('pt'):
+            pn_layers = int(pn_version[:2]) if pn_version[:2].isdigit() else 18
+            self._load_pretrained_into(
+                'pose_net',
+                lambda sub: (load_pretrained_encoder(
+                    sub, pn_layers, num_input_images=2,
+                    weights_path=pn_cfg.get('weights_path', '') or None,
+                    required=not bool(pn_cfg.get('allow_random_init', False)))
+                    if 'encoder' in sub['params'] else sub))
         for key in ('depth_net', 'pose_net'):
             ckpt_path = self.config.model[key].get('checkpoint_path', '')
             if ckpt_path:
