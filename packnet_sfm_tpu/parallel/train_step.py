@@ -176,3 +176,66 @@ def make_eval_step(model, mesh=None):
             batch, train=False)
 
     return jax.jit(eval_step)
+
+
+def make_eval_metrics_step(model, params_cfg, flip_tta=False):
+    """
+    ONE jitted program for the whole per-batch eval protocol: forward
+    (+ the flip-TTA second forward folded in), sigmoid->depth conversions,
+    and the 7-metric computation across all conversion modes with and
+    without GT median scaling (reference: model_wrapper.py:621-790 does
+    this host-side per mode; here it is a single XLA program so a val epoch
+    costs one dispatch per batch instead of ~14).
+
+    Returns step(state, batch) -> {mode: [7] metric vector}. `batch` must
+    contain 'depth' (GT).
+    """
+    from packnet_sfm_tpu.ops.depth import (
+        sigmoid_to_inv_depth, inv2depth, compute_depth_metrics,
+        dual_head_to_depth, post_process_inv_depth)
+    from packnet_sfm_tpu.ops.image import flip_lr
+
+    min_d = float(params_cfg.min_depth)
+    max_d = float(params_cfg.max_depth)
+    crop = params_cfg.get('crop', '')
+    scale_output = params_cfg.get('scale_output', 'resize')
+    use_log = bool(params_cfg.get('use_log_space', False))
+
+    def forward(state, batch):
+        return model.apply(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            batch, train=False)
+
+    def step(state, batch):
+        gt = batch['depth']
+        out = forward(state, batch)
+        if 'inv_depths' in out:
+            sig = out['inv_depths'][0]
+            if flip_tta:
+                flipped = dict(batch)
+                flipped['rgb'] = flip_lr(batch['rgb'])
+                if 'input_depth' in batch:
+                    flipped['input_depth'] = flip_lr(batch['input_depth'])
+                out_f = forward(state, flipped)
+                sig = post_process_inv_depth(sig, out_f['inv_depths'][0])
+            inv_lin = sigmoid_to_inv_depth(sig, min_d, max_d, False)
+            inv_log = sigmoid_to_inv_depth(sig, min_d, max_d, True)
+            depth_lin = inv2depth(inv_lin)
+            depth_log = inv2depth(inv_log)
+            cand = {'depth': depth_log if use_log else depth_lin,
+                    'depth_lin': depth_lin, 'depth_log': depth_log}
+        else:
+            cand = {'depth': dual_head_to_depth(out[('integer', 0)],
+                                                out[('fractional', 0)],
+                                                max_d)}
+        modes = {}
+        for name, pred in cand.items():
+            modes[name] = compute_depth_metrics(
+                gt, pred, min_d, max_d, crop=crop,
+                scale_output=scale_output, use_gt_scale=False)
+            modes[name + '_gt'] = compute_depth_metrics(
+                gt, pred, min_d, max_d, crop=crop,
+                scale_output=scale_output, use_gt_scale=True)
+        return modes
+
+    return jax.jit(step)

@@ -1,11 +1,16 @@
 """Advanced augmentation tests."""
 
+import pytest
+
 import numpy as np
 
 from packnet_sfm_tpu.datasets.augmentations_advanced import (
     RandAugment, RandomErasing, mixup_batch, cutmix_batch,
     make_advanced_collate)
 from packnet_sfm_tpu.datasets.loader import default_collate
+
+pytestmark = pytest.mark.quick
+
 
 
 def test_randaugment_valid_range():

@@ -8,6 +8,9 @@ from packnet_sfm_tpu.config import (
     get_cfg_defaults, parse_train_config, parse_train_file)
 from packnet_sfm_tpu.config.cfg_node import CfgNode
 
+pytestmark = pytest.mark.quick
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = '/root/reference/configs'
 

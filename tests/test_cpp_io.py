@@ -6,6 +6,9 @@ from PIL import Image
 
 from packnet_sfm_tpu.datasets import cpp_io
 
+pytestmark = pytest.mark.quick
+
+
 
 @pytest.fixture(scope='module')
 def lib_ok():

@@ -14,6 +14,9 @@ from packnet_sfm_tpu.datasets.transforms import (
 from packnet_sfm_tpu.datasets.loader import DataLoader, default_collate
 from packnet_sfm_tpu.datasets.synthetic import SyntheticDataset
 
+pytestmark = pytest.mark.quick
+
+
 H, W = 32, 48
 
 

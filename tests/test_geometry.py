@@ -8,7 +8,10 @@ torch = pytest.importorskip('torch')
 import jax.numpy as jnp  # noqa: E402
 
 from packnet_sfm_tpu.geometry import (  # noqa: E402
+
     Pose, Camera, FisheyeCamera, view_synthesis, euler2mat, invert_pose)
+
+pytestmark = pytest.mark.quick
 
 
 @pytest.fixture

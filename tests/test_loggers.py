@@ -3,6 +3,9 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
+
 
 def test_tensorboard_logger(tmp_path):
     pytest.importorskip('torch.utils.tensorboard')

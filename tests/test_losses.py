@@ -10,7 +10,10 @@ from packnet_sfm_tpu.geometry import Pose
 from packnet_sfm_tpu.losses import (
     MultiViewPhotometricLoss, SupervisedLoss, DualHeadDepthLoss, velocity_loss)
 from packnet_sfm_tpu.losses.supervised import (
+
     ssi_loss, silog_loss, berhu_loss, ssi_silog_loss)
+
+pytestmark = pytest.mark.quick
 
 B, H, W = 2, 32, 48
 

@@ -7,8 +7,11 @@ import pytest
 import jax.numpy as jnp
 
 from packnet_sfm_tpu.ops.depth import (
+
     compute_depth_metrics, post_process_inv_depth, scale_depth,
     sigmoid_to_inv_depth, sigmoid_to_depth_linear, sigmoid_to_depth_log)
+
+pytestmark = pytest.mark.quick
 
 
 def np_reference_metrics(gt, pred, min_depth, max_depth, crop, use_gt_scale):

@@ -13,6 +13,9 @@ from packnet_sfm_tpu.ops.image import (  # noqa: E402
     upsample2x_nearest)
 from packnet_sfm_tpu.ops.ssim import ssim  # noqa: E402
 
+pytestmark = pytest.mark.quick
+
+
 
 def to_nchw(x):
     return np.transpose(x, (0, 3, 1, 2))

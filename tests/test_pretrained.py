@@ -19,8 +19,11 @@ import jax.numpy as jnp
 import torch
 
 from packnet_sfm_tpu.export.torch_import import (
+
     torchvision_resnet_to_flax, yolov8_backbone_to_flax,
     load_pretrained_encoder, PretrainedWeightsNotFound)
+
+pytestmark = pytest.mark.quick
 
 
 def synth_torchvision_resnet18_sd(seed=0):

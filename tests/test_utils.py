@@ -1,5 +1,7 @@
 """Utility tests: partial loader, viz colormap, top-k checkpoint monitor."""
 
+import pytest
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -7,6 +9,9 @@ import jax.numpy as jnp
 from packnet_sfm_tpu.utils.load import load_network
 from packnet_sfm_tpu.utils.viz import viz_inv_depth
 from packnet_sfm_tpu.utils.checkpoint import ModelCheckpoint
+
+pytestmark = pytest.mark.quick
+
 
 
 def test_load_network_partial_merge():
