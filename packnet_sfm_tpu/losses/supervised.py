@@ -55,11 +55,14 @@ def berhu_loss(pred, gt, mask, threshold=0.2):
 
 
 def silog_loss(pred, gt, mask, ratio2=0.85):
-    """Scale-invariant log loss over masked pixels (supervised_loss.py:69-80)."""
+    """Scale-invariant log loss (supervised_loss.py:67-80). The reference's
+    SilogLoss has NO mask parameter: on the sparse path it receives the
+    eps-FILLED tensors, whose invalid pixels contribute log_diff=0 but still
+    count in the denominators (plain mean over ALL pixels) — reproduced
+    exactly (golden-pinned in tests/test_supervised_golden.py)."""
     log_diff = jnp.log(jnp.maximum(pred, EPS)) - jnp.log(jnp.maximum(gt, EPS))
-    m = mask.astype(pred.dtype)
-    silog1 = _masked_mean(log_diff ** 2, m)
-    silog2 = ratio2 * _masked_mean(log_diff, m) ** 2
+    silog1 = jnp.mean(log_diff ** 2)
+    silog2 = ratio2 * jnp.mean(log_diff) ** 2
     return jnp.sqrt(jnp.abs(silog1 - silog2) + 1e-8)
 
 
