@@ -166,6 +166,10 @@ def get_cfg_defaults():
         node.num_logs = 5
         node.mask_file = ['']
         node.use_mask = [False]
+        # decoded-sample cache: ''|'ram'|'disk' (TPU addition — the
+        # reference's /tmp cache analogue, datasets/cache.py)
+        node.cache = ''
+        node.cache_dir = ''
         return node
 
     cfg.datasets.train = _split(2, 16, 1, 1)

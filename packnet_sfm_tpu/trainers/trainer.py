@@ -99,6 +99,20 @@ class Trainer:
         repeats = cfg.get('repeat', [1] * len(datasets))
         ds = ConcatDataset(datasets, repeats) if len(datasets) > 1 or \
             (repeats and repeats[0] > 1) else datasets[0]
+        cache_mode = cfg.get('cache', '')
+        if cache_mode:
+            from packnet_sfm_tpu.datasets.cache import SampleCache
+            safe = split != 'train' or SampleCache.validate_transform(
+                self.config.datasets.augmentation,
+                self.config.tpu.get('device_augment', False))
+            if safe:
+                ds = SampleCache(ds, mode=cache_mode,
+                                 cache_dir=cfg.get('cache_dir', '') or None)
+            else:
+                print(pcolor(
+                    '[cache] disabled for train split: host-side random '
+                    'augmentation would be frozen (enable tpu.device_augment '
+                    'or drop jittering)', 'red'))
         collate_fn = None
         aug = self.config.datasets.augmentation
         if split == 'train' and (aug.get('mixup', {}).get('enabled', False) or
