@@ -73,15 +73,22 @@ def project_lidar_to_depth(points_world, cam_pose, K, H, W):
 
 class DGPDataset:
     def __init__(self, path, split='', cameras=('CAMERA_01',),
-                 depth_type='', back_context=0, forward_context=0,
-                 with_pose=True, transform=None, **kwargs):
+                 depth_type='', input_depth_type='', back_context=0,
+                 forward_context=0, with_pose=True, transform=None,
+                 cache_depth_maps=True, **kwargs):
         self.root = path
         self.cameras = list(cameras) if cameras else ['CAMERA_01']
+        self.depth_type = depth_type
         self.with_depth = bool(depth_type)
+        self.input_depth_type = input_depth_type
+        self.with_input_depth = bool(input_depth_type)
         self.back_context = back_context
         self.forward_context = forward_context
         self.with_pose = with_pose
         self.transform = transform
+        # rendered lidar depth maps are cached as npz next to the scene
+        # (reference: dgp_dataset.py:121-166 generate_depth_map cache)
+        self.cache_depth_maps = cache_depth_maps
 
         if split and os.path.isfile(os.path.join(path, split)):
             with open(os.path.join(path, split)) as f:
@@ -144,6 +151,32 @@ class DGPDataset:
         pose = pose_from_dict(datum.get('pose', {}))
         return rgb, K, pose, datum
 
+    def _lidar_depth(self, scene, sample, cam_pose, K, H, W, sd, si, cam,
+                     kind):
+        """Render (and cache) the lidar-projected depth map for one camera
+        datum (reference: dgp_dataset.py:121-166)."""
+        cache = os.path.join(scene['dir'], 'depth', kind or 'lidar', cam,
+                             '{:06d}.npz'.format(si))
+        if self.cache_depth_maps and os.path.exists(cache):
+            return np.load(cache)['depth'].astype(np.float32)[..., None]
+        lidar = next((d for d in sample
+                      if 'point_cloud' in d.get('filename', '')), None)
+        if lidar is None:
+            return None
+        pc = np.load(os.path.join(scene['dir'], lidar['filename']))['data']
+        pts = np.stack([pc['X'], pc['Y'], pc['Z']], 1) \
+            if pc.dtype.names else pc[:, :3]
+        lidar_pose = pose_from_dict(lidar.get('pose', {}))
+        world = (lidar_pose[:3, :3] @ pts.T + lidar_pose[:3, 3:4]).T
+        depth = project_lidar_to_depth(world, cam_pose, K, H, W)
+        if self.cache_depth_maps:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            tmp = '{}.tmp{}.npz'.format(cache[:-4], os.getpid())
+            with open(tmp, 'wb') as f:
+                np.savez_compressed(f, depth=depth[..., 0])
+            os.replace(tmp, cache)
+        return depth
+
     def __getitem__(self, idx):
         sd, si = self.samples[idx]
         scene = self.scenes[sd]
@@ -155,33 +188,41 @@ class DGPDataset:
             H, W = rgb.shape[:2]
             out = {
                 'idx': idx,
+                'sensor_name': cam,
                 'filename': '{}_{}_{}'.format(sd, si, cam),
                 'rgb': rgb,
                 'intrinsics': K,
             }
             if self.with_pose:
                 out['pose'] = pose
+                out['extrinsics'] = scene['calibration'].get(
+                    cam, {}).get('extrinsics', np.eye(4, dtype=np.float32))
             if self.with_depth:
-                lidar = next((d for d in sample
-                              if 'point_cloud' in d.get('filename', '')), None)
-                if lidar is not None:
-                    pc = np.load(os.path.join(scene['dir'],
-                                              lidar['filename']))['data']
-                    pts = np.stack([pc['X'], pc['Y'], pc['Z']], 1) \
-                        if pc.dtype.names else pc[:, :3]
-                    lidar_pose = pose_from_dict(lidar.get('pose', {}))
-                    world = (lidar_pose[:3, :3] @ pts.T
-                             + lidar_pose[:3, 3:4]).T
-                    out['depth'] = project_lidar_to_depth(world, pose, K, H, W)
-            ctx = []
+                depth = self._lidar_depth(scene, sample, pose, K, H, W,
+                                          sd, si, cam, self.depth_type)
+                if depth is not None:
+                    out['depth'] = depth
+            if self.with_input_depth:
+                depth = self._lidar_depth(scene, sample, pose, K, H, W,
+                                          sd, si, cam, self.input_depth_type)
+                if depth is not None:
+                    out['input_depth'] = depth
+            ctx_rgb, ctx_pose = [], []
             for off in list(range(-self.back_context, 0)) + \
                     list(range(1, self.forward_context + 1)):
                 c_sample = scene['samples'][si + off]
                 c_rgb, _, c_pose, _ = self._load_cam_sample(scene, c_sample,
                                                             cam)
-                ctx.append(c_rgb)
-            if ctx:
-                out['rgb_context'] = ctx
+                ctx_rgb.append(c_rgb)
+                ctx_pose.append(c_pose)
+            if ctx_rgb:
+                out['rgb_context'] = ctx_rgb
+                if self.with_pose:
+                    # relative target->context motion, per camera
+                    # (reference: dgp_dataset.py:261-272)
+                    inv_pose = np.linalg.inv(out['pose'])
+                    out['pose_context'] = [
+                        (inv_pose @ p).astype(np.float32) for p in ctx_pose]
             if self.transform:
                 out = self.transform(out)
             per_cam.append(out)

@@ -47,7 +47,8 @@ def _host_prepare(batch):
     """Drop host-only keys; fold multi-camera rigs into the batch axis
     (reference: models/model_utils.py:68-94 stack_batch)."""
     batch = {k: v for k, v in batch.items()
-             if k not in ('idx', 'filename', 'rgb_path')}
+             if k not in ('idx', 'filename', 'rgb_path', 'sensor_name',
+                          'splitname', 'dataset_idx')}
     rgb = batch.get('rgb')
     if rgb is not None and getattr(rgb, 'ndim', 0) == 5:
         from packnet_sfm_tpu.datasets.dgp import fold_multicam_batch
