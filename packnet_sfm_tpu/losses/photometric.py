@@ -116,7 +116,10 @@ class MultiViewPhotometricLoss:
             t_est = [t.astype(jnp.bfloat16) for t in t_est]
             images = [t.astype(jnp.bfloat16) for t in images]
         for est, img, m in zip(t_est, images, masks):
-            if self.use_pallas and self.ssim_loss_weight > 0.0:
+            # the fused kernel is fp32-internal: under bf16 photometric it
+            # adds casts and measures a net loss (BENCH_NOTES round-2
+            # ablation: 1281 vs 2463 img/s) -> only engage on the fp32 path
+            if self.use_pallas and not lowp and self.ssim_loss_weight > 0.0:
                 from packnet_sfm_tpu.ops.pallas.photometric import \
                     photometric_map_pallas
                 photo = photometric_map_pallas(

@@ -108,20 +108,37 @@ class InvDepth(nn.Module):
 class _Conv3DStack(nn.Module):
     """Conv3D(1->d) over (channel-as-depth, H, W) then flatten to channels.
 
-    TPU note: a d-channel 3D conv on a single input channel is MXU-hostile;
-    XLA lowers it to a sum of shifted matmuls, which is acceptable at these
-    sizes. A fused Pallas kernel slot exists in ops/pallas for when profiling
-    justifies it.
+    Two numerically-identical implementations (tests/test_networks parity):
+    - 'conv3d':     the literal 3D conv — in_channels=1, so XLA's lowering
+                    is MXU-hostile (27-element contraction)
+    - 'depthwin2d': unfold the 3-wide depth window into input channels and
+                    run ONE 2D conv with the depth axis merged into batch —
+                    the same math as a dense 2D conv the MXU tiles well
+                    (SURVEY.md §7 hard-part 4: "reshape into grouped 2-D
+                    convs"). Weight layout: K2d[kh,kw,dz,j] = K3d[dz,kh,kw,0,j].
+
+    Default picked by measurement on v5e (BENCH_NOTES.md).
     """
     d: int = 8
     dtype: jnp.dtype = jnp.float32
+    impl: str = 'depthwin2d'
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        v = x.transpose(0, 3, 1, 2)[..., None]         # [B,C,H,W,1] (C=depth)
-        v = nn.Conv(self.d, (3, 3, 3), padding=1, kernel_init=XAVIER,
-                    dtype=self.dtype)(v)               # [B,C,H,W,d]
+        if self.impl == 'conv3d':
+            v = x.transpose(0, 3, 1, 2)[..., None]     # [B,C,H,W,1] (C=depth)
+            v = nn.Conv(self.d, (3, 3, 3), padding=1, kernel_init=XAVIER,
+                        dtype=self.dtype)(v)           # [B,C,H,W,d]
+            return v.transpose(0, 2, 3, 1, 4).reshape(B, H, W, C * self.d)
+        # depth-window unfold: xw[..., c, k] = x_padded[..., c + k]
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1)))
+        xw = jnp.stack([xp[..., 0:C], xp[..., 1:C + 1], xp[..., 2:C + 2]],
+                       axis=-1)                        # [B,H,W,C,3]
+        v = xw.transpose(0, 3, 1, 2, 4).reshape(B * C, H, W, 3)
+        v = nn.Conv(self.d, (3, 3), padding=1, kernel_init=XAVIER,
+                    dtype=self.dtype, name='win2d')(v)  # [B*C,H,W,d]
+        v = v.reshape(B, C, H, W, self.d)
         return v.transpose(0, 2, 3, 1, 4).reshape(B, H, W, C * self.d)
 
 
