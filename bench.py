@@ -124,7 +124,13 @@ def _rand_batch(rng, B, H, W, lidar=True, contexts=0):
 
 def main():
     import jax
-    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_tpu_cache')
+    import os
+    # repo-local persistent cache: tunnel compiles of the two workloads are
+    # minutes-scale (measured 20+ min on a cold, loaded tunnel) and /tmp
+    # does not survive VM restarts — the repo does.
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '.jax_tpu_cache')
+    jax.config.update('jax_compilation_cache_dir', cache)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
 
     B, H, W = 8, 192, 640

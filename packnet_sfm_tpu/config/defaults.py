@@ -121,6 +121,9 @@ def get_cfg_defaults():
     cfg.model.params.scale_output = 'resize'
     cfg.model.params.use_log_space = False
     cfg.model.params.flip_tta = False  # flipped test-time augmentation at eval
+    # TPU addition: fake-quantize sigmoid outputs to uint8 at eval — the
+    # measured INT8/NPU output-quantization cost (ops/quantization.py)
+    cfg.model.params.int8_outputs = False
 
     # ------------------------------------------------------------------- arch
     cfg.arch = CN()
@@ -189,6 +192,10 @@ def get_cfg_defaults():
     cfg.checkpoint.s3_path = ''
     cfg.checkpoint.s3_frequency = 1
     cfg.checkpoint.s3_url = ''
+    # TPU addition: rolling mid-epoch checkpoint every N train steps
+    # (0 = off). Resuming from it replays the loader to the exact batch
+    # (the shuffle is keyed by (seed, epoch), datasets/loader.py).
+    cfg.checkpoint.save_every_n_steps = 0
 
     # ------------------------------------------------------------------- save
     cfg.save = CN()

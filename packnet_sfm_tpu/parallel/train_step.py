@@ -178,7 +178,8 @@ def make_eval_step(model, mesh=None):
     return jax.jit(eval_step)
 
 
-def make_eval_metrics_step(model, params_cfg, flip_tta=False):
+def make_eval_metrics_step(model, params_cfg, flip_tta=False,
+                           int8_outputs=False):
     """
     ONE jitted program for the whole per-batch eval protocol: forward
     (+ the flip-TTA second forward folded in), sigmoid->depth conversions,
@@ -186,6 +187,12 @@ def make_eval_metrics_step(model, params_cfg, flip_tta=False):
     without GT median scaling (reference: model_wrapper.py:621-790 does
     this host-side per mode; here it is a single XLA program so a val epoch
     costs one dispatch per batch instead of ~14).
+
+    `int8_outputs` fake-quantizes the network's sigmoid outputs to uint8
+    before depth conversion — the measured counterpart of the analytic
+    NPU-deployment error analysis (ops/quantization.py; reference
+    docs/quantization/ST2 dual-head study): eval once with and once
+    without it and the metric delta IS the INT8 output-quantization cost.
 
     Returns step(state, batch) -> {mode: [7] metric vector}. `batch` must
     contain 'depth' (GT).
@@ -218,6 +225,9 @@ def make_eval_metrics_step(model, params_cfg, flip_tta=False):
                     flipped['input_depth'] = flip_lr(batch['input_depth'])
                 out_f = forward(state, flipped)
                 sig = post_process_inv_depth(sig, out_f['inv_depths'][0])
+            if int8_outputs:
+                from packnet_sfm_tpu.ops.quantization import fake_quant_u8
+                sig = fake_quant_u8(sig)
             inv_lin = sigmoid_to_inv_depth(sig, min_d, max_d, False)
             inv_log = sigmoid_to_inv_depth(sig, min_d, max_d, True)
             depth_lin = inv2depth(inv_lin)
@@ -225,9 +235,12 @@ def make_eval_metrics_step(model, params_cfg, flip_tta=False):
             cand = {'depth': depth_log if use_log else depth_lin,
                     'depth_lin': depth_lin, 'depth_log': depth_log}
         else:
-            cand = {'depth': dual_head_to_depth(out[('integer', 0)],
-                                                out[('fractional', 0)],
-                                                max_d)}
+            int_sig, frac_sig = out[('integer', 0)], out[('fractional', 0)]
+            if int8_outputs:
+                from packnet_sfm_tpu.ops.quantization import fake_quant_u8
+                int_sig = fake_quant_u8(int_sig)
+                frac_sig = fake_quant_u8(frac_sig)
+            cand = {'depth': dual_head_to_depth(int_sig, frac_sig, max_d)}
         modes = {}
         for name, pred in cand.items():
             modes[name] = compute_depth_metrics(

@@ -184,10 +184,12 @@ class Trainer:
         setting (one XLA program per batch instead of ~14 host dispatches —
         VERDICT round-1 weak #6)."""
         from packnet_sfm_tpu.parallel.train_step import make_eval_metrics_step
-        key = bool(self.config.model.params.get('flip_tta', False))
+        key = (bool(self.config.model.params.get('flip_tta', False)),
+               bool(self.config.model.params.get('int8_outputs', False)))
         if key not in self._metrics_step_cache:
             self._metrics_step_cache[key] = make_eval_metrics_step(
-                self.model, self.config.model.params, flip_tta=key)
+                self.model, self.config.model.params, flip_tta=key[0],
+                int8_outputs=key[1])
         return self._metrics_step_cache[key]
 
     def _quantize_progress(self, progress):
@@ -215,10 +217,16 @@ class Trainer:
         if self.validate_first and val_loader is not None:
             self.validate(val_loader)
 
+        resume_loader = (self.resume_state or {}).get('loader')
         for epoch in range(self.current_epoch, self.max_epochs):
             self.current_epoch = epoch
             self._maybe_switch_precision(epoch)
             train_loader.set_epoch(epoch)
+            if resume_loader is not None:
+                # exact mid-epoch resume: replay the (seed, epoch)-keyed
+                # shuffle and skip the batches the checkpoint already saw
+                train_loader.load_state_dict(resume_loader)
+                resume_loader = None
             t0 = time.time()
             train_metrics = self.train_epoch(train_loader, val_loader, epoch)
             dt = time.time() - t0
@@ -248,10 +256,16 @@ class Trainer:
     # ----------------------------------------------------------- train epoch
     def train_epoch(self, loader, val_loader, epoch):
         n = len(loader)
+        # mid-epoch resume: the loader skips `pending` batches; index math
+        # below (progress, periodic saves) counts from the true position
+        pending = getattr(loader, '_skip', 0)
+        save_every = int(self.config.checkpoint.get('save_every_n_steps', 0))
         eval_every = max(1, int(n * self.config.arch.eval_progress_interval)) \
             if self.config.arch.eval_during_training else None
         losses = []
         rng = jax.random.PRNGKey(self.config.arch.seed * 1000 + epoch)
+        for _ in range(pending):  # fast-forward the per-step rng stream
+            rng, _ = jax.random.split(rng)
         self.state = self.state.replace(epoch=jnp.asarray(epoch, jnp.int32))
         from packnet_sfm_tpu.utils.profiling import StepTimer
         from packnet_sfm_tpu.parallel.mesh import prefetch_to_device
@@ -262,17 +276,27 @@ class Trainer:
             size=max(1, self.config.tpu.get('prefetch', 2)),
             spatial_axis=spatial, transform=_host_prepare)
         for i, batch in enumerate(device_iter):
+            b = pending + i  # true batch index within the epoch
             timer.data_ready()
             progress = self._quantize_progress(
-                (epoch + i / n) / max(self.max_epochs, 1))
+                (epoch + b / n) / max(self.max_epochs, 1))
             rng, sub = jax.random.split(rng)
             self.state, metrics = self.train_step(self.state, batch, sub,
                                                   progress)
             losses.append(metrics['loss'])
             timer.step_done()
-            if eval_every and val_loader is not None and i > 0 and \
-                    i % eval_every == 0:
-                self.quick_eval(val_loader, i, n)
+            if save_every and (b + 1) % save_every == 0 and \
+                    self.checkpoint_cb is not None and rank() == 0:
+                from packnet_sfm_tpu.utils.checkpoint import save_checkpoint
+                save_checkpoint(
+                    os.path.join(self.checkpoint_cb.dirpath,
+                                 'mid_epoch.ckpt'),
+                    self.config, jax.device_get(self.state), epoch,
+                    extra={'loader': {'epoch': epoch,
+                                      'batches_consumed': b + 1}})
+            if eval_every and val_loader is not None and b > 0 and \
+                    b % eval_every == 0:
+                self.quick_eval(val_loader, b, n)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         prof = timer.summary()
         print(pcolor(

@@ -21,8 +21,9 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
-def save_checkpoint(path, config, state, epoch=None):
-    """Write a self-describing checkpoint. `state` is a TrainState."""
+def save_checkpoint(path, config, state, epoch=None, extra=None):
+    """Write a self-describing checkpoint. `state` is a TrainState.
+    `extra`: additional payload entries (e.g. mid-epoch loader position)."""
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     payload = {
         'config': config.to_dict() if hasattr(config, 'to_dict') else dict(config),
@@ -32,6 +33,8 @@ def save_checkpoint(path, config, state, epoch=None):
         'batch_stats': _to_host(state.batch_stats),
         'opt_state': _to_host(state.opt_state),
     }
+    if extra:
+        payload.update(extra)
     tmp = path + '.tmp'
     with open(tmp, 'wb') as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)

@@ -19,16 +19,21 @@ def parse_args():
                         help='optional YAML overriding the ckpt config')
     parser.add_argument('--half', action='store_true',
                         help='evaluate in bfloat16 (fp16-eval equivalent)')
+    parser.add_argument('--int8', action='store_true',
+                        help='fake-quantize outputs to uint8: measures the '
+                             'INT8/NPU output-quantization metric cost')
     return parser.parse_args()
 
 
-def test(ckpt_file, cfg_file=None, half=False):
+def test(ckpt_file, cfg_file=None, half=False, int8=False):
     from packnet_sfm_tpu.config import parse_test_file
     from packnet_sfm_tpu.trainers.trainer import Trainer
 
     config, state = parse_test_file(ckpt_file, cfg_file)
     if half:
         config.tpu.compute_dtype = 'bfloat16'
+    if int8:
+        config.model.params.int8_outputs = True
     trainer = Trainer(config, resume_state=state)
     loader = trainer._make_loader('test')
     assert loader is not None, 'No test dataset configured'
@@ -41,4 +46,4 @@ def test(ckpt_file, cfg_file=None, half=False):
 
 if __name__ == '__main__':
     args = parse_args()
-    test(args.checkpoint, args.config, args.half)
+    test(args.checkpoint, args.config, args.half, args.int8)

@@ -45,6 +45,71 @@ def test_generic_projection_recovers_identity():
     np.testing.assert_allclose(coords[..., 1][c], gy[None][c], atol=0.1)
 
 
+@pytest.mark.quick
+def test_streaming_projection_matches_dense():
+    """The online-softmax streaming path is numerically the same program as
+    the dense [B,HW,K,3] path — values AND gradients (it exists purely to
+    remove the patch materialization that pins the reference to half-res)."""
+    rng = np.random.RandomState(1)
+    rays = pinhole_ray_surface(make_K(), H, W)
+    rays = rays + jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32)) * 0.02
+    rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    depth = jnp.asarray((rng.rand(B, H, W, 1) * 4 + 1).astype(np.float32))
+    cam = GenericCamera.create(rays, patch_side=3)
+    pts = cam.reconstruct(depth, frame='c')
+
+    # NOTE on tolerances: the annealed temperature is ~1e-4, so the softmax
+    # is near-argmax and logit rounding (fp32 ulp) is amplified ~1/T in the
+    # weights; ~1e-4 coordinate noise (=0.003 px) between formulations is
+    # inherent, not a bug.
+    for downsample in (False, True):
+        dense = cam.project(pts, progress=0.3, downsample=downsample,
+                            backend='dense')
+        stream = cam.project(pts, progress=0.3, downsample=downsample,
+                             backend='streaming')
+        np.testing.assert_allclose(np.asarray(stream), np.asarray(dense),
+                                   rtol=1e-3, atol=2e-4)
+
+    def loss(r, mode):
+        c = GenericCamera.create(r, patch_side=3)
+        return jnp.sum(c.project(pts, progress=0.3, downsample=False,
+                                 backend=mode) ** 2)
+
+    g_dense = np.asarray(jax.grad(lambda r: loss(r, 'dense'))(rays))
+    g_stream = np.asarray(jax.grad(lambda r: loss(r, 'streaming'))(rays))
+    np.testing.assert_allclose(g_stream, g_dense, rtol=5e-3,
+                               atol=2e-3 * np.abs(g_dense).max())
+
+
+@pytest.mark.quick
+def test_pallas_projection_matches_dense():
+    """Pallas kernel (interpret mode off-TPU) == dense softmax: values and
+    gradients (bwd is the XLA-recompute VJP)."""
+    rng = np.random.RandomState(2)
+    rays = pinhole_ray_surface(make_K(), H, W)
+    rays = rays + jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32)) * 0.02
+    rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    depth = jnp.asarray((rng.rand(B, H, W, 1) * 4 + 1).astype(np.float32))
+    cam = GenericCamera.create(rays, patch_side=3)
+    pts = cam.reconstruct(depth, frame='c')
+
+    # tolerance note: see test_streaming_projection_matches_dense
+    dense = cam.project(pts, progress=0.3, downsample=False, backend='dense')
+    pall = cam.project(pts, progress=0.3, downsample=False, backend='pallas')
+    np.testing.assert_allclose(np.asarray(pall), np.asarray(dense),
+                               rtol=1e-3, atol=2e-4)
+
+    def loss(r, mode):
+        c = GenericCamera.create(r, patch_side=3)
+        return jnp.sum(c.project(pts, progress=0.3, downsample=False,
+                                 backend=mode) ** 2)
+
+    g_dense = np.asarray(jax.grad(lambda r: loss(r, 'dense'))(rays))
+    g_pall = np.asarray(jax.grad(lambda r: loss(r, 'pallas'))(rays))
+    np.testing.assert_allclose(g_pall, g_dense, rtol=5e-3,
+                               atol=2e-3 * np.abs(g_dense).max())
+
+
 def test_generic_selfsup_model_trains():
     cfg = get_cfg_defaults()
     cfg.model.name = 'GenericSelfSupModel'

@@ -94,3 +94,38 @@ def test_compare_predictions(tree):
                  '--output', str(tree / 'cmp'), '--labels', 'FP32', 'NPU')
     assert '2 comparison panels' in stdout
     assert (tree / 'cmp' / 'img_000_cmp.png').exists()
+
+
+def test_make_viz_index(tree):
+    stdout = run('visualization/make_viz_index.py',
+                 '--dir', str(tree), '--title', 'fin test')
+    assert 'index.html' in stdout
+    page = (tree / 'index.html').read_text()
+    assert 'fin test' in page and 'img_000.png' in page
+    # groups by subdirectory
+    assert 'rgb' in page and 'gt' in page
+
+
+def test_lidar_vs_pred(tree):
+    stdout = run('visualization/lidar_vs_pred.py',
+                 '--pred', str(tree / 'npz' / 'img_000.npz'),
+                 '--gt', str(tree / 'gt' / 'img_000.png'),
+                 '--image', str(tree / 'rgb' / 'img_000.png'),
+                 '--output', str(tree / 'lvp'), '--max_depth', '15')
+    assert 'abs_rel' in stdout
+    assert (tree / 'lvp' / 'img_000_overlay.png').exists()
+    assert (tree / 'lvp' / 'img_000_scatter.png').exists()
+
+
+def test_visualize_masked_prediction(tree):
+    mask = np.zeros((48, 64), np.uint8)
+    mask[:, 8:56] = 255  # fisheye-style border occlusion
+    Image.fromarray(mask).save(tree / 'mask.png')
+    stdout = run('visualization/visualize_masked_prediction.py',
+                 '--image', str(tree / 'rgb' / 'img_000.png'),
+                 '--pred', str(tree / 'npz' / 'img_000.npz'),
+                 '--mask', str(tree / 'mask.png'),
+                 '--output', str(tree / 'masked.png'))
+    assert 'masked region: 75' in stdout
+    img = np.asarray(Image.open(tree / 'masked.png'))
+    assert img.shape == (48, 64 * 3, 3)  # rgb | raw | masked
