@@ -175,6 +175,17 @@ def ssi_silog_loss(pred_inv, gt_inv, mask, alpha=0.85, ssi_weight=0.7,
         total = total + gradient_weight * _sobel_gradient_loss(
             pred_d, gt_d, m, gradient_scales)
 
+    # SSI_SILOG_LOG=1: per-step component logging from inside the jitted
+    # step (reference: ssi_silog_loss.py:366-406 SSI_SILOG_LOG_* dumps).
+    # Env is read at trace time; the print itself is a traced side effect.
+    import os
+    if os.environ.get('SSI_SILOG_LOG', '0') == '1':
+        jax.debug.print(
+            '[SSI_SILOG_LOG] ssi={ssi:.5f} silog={silog:.5f} '
+            '(silog1={s1:.5f} silog2={s2:.5f}) total={total:.5f} '
+            'valid_px={n:.0f}', ssi=ssi, silog=silog, s1=silog1, s2=silog2,
+            total=total, n=jnp.sum(m))
+
     # <100 valid pixels -> 0 (reference ssi_silog_loss.py:400-403)
     return jnp.where(jnp.sum(m) < 100, 0.0, total)
 

@@ -277,6 +277,9 @@ class Trainer:
             spatial_axis=spatial, transform=_host_prepare)
         for i, batch in enumerate(device_iter):
             b = pending + i  # true batch index within the epoch
+            if i == 0 and os.environ.get('ONE_STEP_VIZ_DIR', ''):
+                from packnet_sfm_tpu.utils.debug import maybe_one_step_viz
+                maybe_one_step_viz(self.eval_step, self.state, batch)
             timer.data_ready()
             progress = self._quantize_progress(
                 (epoch + b / n) / max(self.max_epochs, 1))

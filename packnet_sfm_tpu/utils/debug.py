@@ -51,6 +51,39 @@ def maybe_force_depth_div256(gt):
     return gt
 
 
+def maybe_one_step_viz(eval_step, state, batch):
+    """ONE_STEP_VIZ_DIR=<dir>: dump one training batch's rgb / predicted
+    inverse-depth / GT panels, once (reference: ONE_STEP_VIZ_DIR in
+    SemiSupCompletionModel.py:140-431 — visual sanity check of the exact
+    tensors entering the loss)."""
+    out_dir = os.environ.get('ONE_STEP_VIZ_DIR', '')
+    if not out_dir or 'ONE_STEP_VIZ' in _done_flags:
+        return
+    _done_flags.add('ONE_STEP_VIZ')
+    from PIL import Image
+    from packnet_sfm_tpu.utils.viz import viz_inv_depth
+    os.makedirs(out_dir, exist_ok=True)
+    out = eval_step(state, batch)
+
+    def save(arr, name):
+        Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, name))
+
+    rgb = np.asarray(batch['rgb'])
+    n = min(2, rgb.shape[0])
+    for i in range(n):
+        save(rgb[i], 'sample{}_rgb.png'.format(i))
+        if 'inv_depths' in out:
+            sig = np.asarray(out['inv_depths'][0])[i, ..., 0]
+            save(viz_inv_depth(sig), 'sample{}_pred_inv_depth.png'.format(i))
+        for key in ('depth', 'input_depth'):
+            if key in batch:
+                d = np.asarray(batch[key])[i, ..., 0]
+                inv = np.where(d > 0, 1.0 / np.maximum(d, 1e-6), 0.0)
+                save(viz_inv_depth(inv), 'sample{}_{}.png'.format(i, key))
+    print('[ONE_STEP_VIZ] wrote {} samples to {}'.format(n, out_dir))
+
+
 def maybe_log_gt_depth(depth):
     if not _enabled('GT_DEPTH_DEBUG'):
         return

@@ -96,6 +96,43 @@ def test_compare_predictions(tree):
     assert (tree / 'cmp' / 'img_000_cmp.png').exists()
 
 
+def test_generate_luts(tree):
+    out = str(tree / 'luts.npz')
+    stdout = run('data_processing/generate_luts.py',
+                 '--output', out, '--height', '96', '--width', '160')
+    assert 'ray LUT 96x160x3' in stdout
+    lut = np.load(out)
+    rays = lut['ray_lut']
+    assert rays.shape == (96, 160, 3)
+    # unit rays
+    np.testing.assert_allclose(np.linalg.norm(rays, axis=-1), 1.0, atol=1e-5)
+    # inverse table really inverts the forward polynomial
+    theta, rd = lut['theta_samples'], lut['rd_samples']
+    assert len(theta) == len(rd) and (np.diff(rd) > 0).all()
+    k = lut['k']
+    rd_check = np.full_like(theta, k[6])
+    for i in range(5, -1, -1):
+        rd_check = rd_check * theta + k[i]
+    np.testing.assert_allclose(rd_check, rd, atol=1e-5)
+
+
+def test_build_test_set(tree):
+    import json
+    split = [{'new_filename': 'scene/img_000'}, {'new_filename': 'img_001'},
+             {'new_filename': 'img_999'}]  # 999 is missing everywhere
+    (tree / 'split.json').write_text(json.dumps(split))
+    stdout = run('data_processing/build_test_set.py',
+                 '--split', str(tree / 'split.json'),
+                 '--source', 'rgb=' + str(tree / 'rgb'),
+                 '--source', 'gt=' + str(tree / 'gt'),
+                 '--output', str(tree / 'fin'))
+    assert 'rgb: 2/3 copied (1 missing)' in stdout
+    assert (tree / 'fin' / 'rgb' / 'img_000.png').exists()
+    assert (tree / 'fin' / 'gt' / 'img_001.png').exists()
+    manifest = json.loads((tree / 'fin' / 'manifest.json').read_text())
+    assert manifest['kinds']['gt']['missing'] == ['img_999']
+
+
 def test_make_viz_index(tree):
     stdout = run('visualization/make_viz_index.py',
                  '--dir', str(tree), '--title', 'fin test')
