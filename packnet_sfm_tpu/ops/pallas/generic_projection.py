@@ -62,7 +62,9 @@ def _gather_cols(slab, j, p, W, left, right):
     roll + two broadcast border fixes (all static slices)."""
     k1 = 2 * p + 1
     shift = (p - j) % W
-    rolled = jnp.roll(slab, shift, axis=1)
+    # shift==0 (j==p) must bypass roll: its slice+concat decomposition emits
+    # a zero-width slice, which Mosaic rejects (vector sizes must be > 0).
+    rolled = slab if shift == 0 else jnp.roll(slab, shift, axis=1)
     fix_l = slab[:, j:j + 1]                      # x < p: start is 0
     fix_r = slab[:, W - k1 + j:W - k1 + j + 1]    # x > W-1-p: start is W-k1
     return jnp.where(left, fix_l, jnp.where(right, fix_r, rolled))
