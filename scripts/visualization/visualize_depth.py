@@ -20,6 +20,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
+from packnet_sfm_tpu.utils.hostjax import force_cpu
+force_cpu()  # offline host tool: never contend for the TPU tunnel
+
 import numpy as np
 from PIL import Image
 
