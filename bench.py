@@ -19,11 +19,16 @@ at 192x640. A100 PyTorch training throughput for monodepth2-style ResNet18
 semi-sup stacks is ~55 img/s (bs 8, fp32) — vs_baseline is against 2x that
 (110 img/s).
 
-Timing methodology (round-2 change): the TPU is reached over a tunnel with
-~±10% transient load variance between runs; we time W windows of K steps
-each (no host sync inside a window) and report the BEST window, which
-reflects hardware capability rather than tunnel weather. Per-window
-timings go to stderr for reconciliation.
+Timing methodology (round-2, corrected): W windows of K chained steps, no
+host sync inside a window, BEST window reported; per-window timings go to
+stderr. Window sync is a VALUE FETCH of the last step's loss —
+`jax.block_until_ready` on the outputs of a donated-argument execution
+returns immediately on this backend (donor-aliased buffers are reported
+ready before the program runs), which silently turned earlier windows into
+dispatch-rate measurements ~17x above hardware truth. Fetching the scalar
+forces real completion; the chained state dependency makes the window time
+the true per-step cost (measured: donate=False block-sync, donate=False
+value-sync, and donate=True value-sync all agree within 3%).
 """
 
 import json
@@ -35,12 +40,15 @@ import numpy as np
 BASELINE_IMG_S = 110.0  # 2x A100-PyTorch target (BASELINE.md north star)
 
 
-def _bench_step(step, state, batch, key, windows=4, iters=15, warmup=6):
-    """Best-window throughput timing. Returns (sec_per_iter, all_windows)."""
+def _bench_step(step, state, batch, key, windows=4, iters=8, warmup=3):
+    """Best-window throughput timing. Returns (sec_per_iter, all_windows).
+
+    Sync by FETCHING the loss value: block_until_ready on donated-execution
+    outputs is a no-op on this backend (see module docstring)."""
     import jax
     for i in range(warmup):
         state, metrics = step(state, batch, jax.random.fold_in(key, i), 0.0)
-    jax.block_until_ready(metrics['loss'])
+    float(metrics['loss'])
     times = []
     for w in range(windows):
         t0 = time.perf_counter()
@@ -48,7 +56,7 @@ def _bench_step(step, state, batch, key, windows=4, iters=15, warmup=6):
             state, metrics = step(
                 state, batch, jax.random.fold_in(key, 100 + w * iters + i),
                 0.0)
-        jax.block_until_ready(metrics['loss'])
+        float(metrics['loss'])
         times.append((time.perf_counter() - t0) / iters)
     return min(times), times
 

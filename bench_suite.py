@@ -72,11 +72,14 @@ def time_train(cfg, model, batch, iters):
     key = jax.random.PRNGKey(1)
     for i in range(3):
         state, m = step(state, dev, jax.random.fold_in(key, i), 0.5)
-    jax.block_until_ready(m['loss'])
+    # value fetch, NOT block_until_ready: on this backend block_until_ready
+    # over donated-execution outputs returns before the program runs
+    # (see bench.py module docstring)
+    float(m['loss'])
     t0 = time.perf_counter()
     for i in range(iters):
         state, m = step(state, dev, jax.random.fold_in(key, 99 + i), 0.5)
-    jax.block_until_ready(m['loss'])
+    float(m['loss'])
     return (time.perf_counter() - t0) / iters
 
 
@@ -97,11 +100,11 @@ def time_eval(cfg, model, batch, iters):
     rgb = jnp.asarray(batch['rgb'])
     d = jnp.asarray(batch['input_depth'])
     out = fwd(rgb, d)
-    jax.block_until_ready(out)
+    float(out.ravel()[0])  # value fetch (see time_train note)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(rgb, d)
-    jax.block_until_ready(out)
+    float(out.ravel()[0])
     return (time.perf_counter() - t0) / iters
 
 

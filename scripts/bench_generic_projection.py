@@ -20,15 +20,22 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import numpy as np
 
 
-def bench(fn, args, iters, warmup=3):
+def _sync(out):
+    """Force real completion by fetching a value — block_until_ready can
+    return early on this backend (see bench.py module docstring)."""
     import jax
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf.ravel()[0])
+
+
+def bench(fn, args, iters, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters * 1000.0  # ms
 
 
@@ -42,6 +49,10 @@ def main():
     a = ap.parse_args()
 
     import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(os.path.dirname(__file__), '..',
+                                   '.jax_tpu_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
     import jax.numpy as jnp
     from packnet_sfm_tpu.geometry.camera_generic import (
         GenericCamera, pinhole_ray_surface)
