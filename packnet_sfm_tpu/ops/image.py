@@ -7,6 +7,8 @@ Interpolation matches `torch.nn.functional.interpolate` conventions exactly
 depth-estimation parity is usually won or lost.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -102,14 +104,10 @@ def match_scales(image, target_shapes, num_scales, mode='bilinear', align_corner
 ########################################################################################################################
 # grid_sample (torch-parity: bilinear, align_corners=True, zeros padding)
 
-def grid_sample(image, grid, padding_mode='zeros'):
-    """
-    Bilinear sampling of [B,H,W,C] at normalized coords grid [B,Ho,Wo,2]
-    (x, y in [-1, 1]), matching torch.nn.functional.grid_sample(
-    mode='bilinear', align_corners=True) (reference call:
-    geometry/camera_utils.py:56-58). Out-of-bounds samples contribute zeros
-    ('zeros') or clamp to the border ('border').
-    """
+def _grid_sample_xla(image, grid, padding_mode='zeros'):
+    """Plain-XLA bilinear sampling (fully differentiable; the image-gradient
+    path autodiffs to a scatter-add). Kept as the oracle and as the
+    image-cotangent branch of the custom-VJP wrapper below."""
     B, H, W, C = image.shape
     gx, gy = grid[..., 0], grid[..., 1]
     # Unnormalize (align_corners=True): -1 -> 0, +1 -> size-1
@@ -149,6 +147,93 @@ def grid_sample(image, grid, padding_mode='zeros'):
     else:
         raise ValueError('Unknown padding mode {}'.format(padding_mode))
     return out
+
+
+def _gs_patches(image, grid, padding_mode):
+    """Gather the 4 bilinear taps once. Returns (p00, p01, p10, p11, wx, wy)
+    with out-of-bounds taps already zeroed in 'zeros' mode, so both the value
+    and the coordinate gradient are pure elementwise math over these."""
+    B, H, W, C = image.shape
+    gx, gy = grid[..., 0], grid[..., 1]
+    x = (gx + 1.0) * 0.5 * (W - 1)
+    y = (gy + 1.0) * 0.5 * (H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    flat = image.reshape(B, H * W, C)
+
+    def tap(yi, xi):
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        idx = yc * W + xc
+        p = jnp.take_along_axis(
+            flat, idx.reshape(B, -1, 1), axis=1).reshape(idx.shape + (C,))
+        if padding_mode == 'zeros':
+            v = ((yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1))
+            p = p * v.astype(p.dtype)[..., None]
+        return p
+
+    return (tap(y0, x0), tap(y0, x0 + 1.0),
+            tap(y0 + 1.0, x0), tap(y0 + 1.0, x0 + 1.0), wx, wy)
+
+
+def _gs_combine(p00, p01, p10, p11, wx, wy):
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = p00 + (p01 - p00) * wx
+    bot = p10 + (p11 - p10) * wx
+    return top + (bot - top) * wy
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def grid_sample(image, grid, padding_mode='zeros'):
+    """
+    Bilinear sampling of [B,H,W,C] at normalized coords grid [B,Ho,Wo,2]
+    (x, y in [-1, 1]), matching torch.nn.functional.grid_sample(
+    mode='bilinear', align_corners=True) (reference call:
+    geometry/camera_utils.py:56-58). Out-of-bounds samples contribute zeros
+    ('zeros') or clamp to the border ('border').
+
+    TPU note: gathers are the slowest primitive in the whole photometric
+    path (XLA lowers per-pixel gathers at ~100 M elem/s on v5e, and the
+    naive autodiff re-gathers for the coordinate gradient and SCATTERS for
+    the image gradient). This wrapper gathers the 4 taps ONCE, saves them
+    as residuals, and computes the coordinate cotangent as pure elementwise
+    math — zero gathers, zero scatters in the backward. The image cotangent
+    (rare: warped sources are data, not activations, in every loss here)
+    falls back to autodiff of the plain-XLA formulation and is dead-code
+    eliminated when unused.
+    """
+    p00, p01, p10, p11, wx, wy = _gs_patches(image, grid, padding_mode)
+    return _gs_combine(p00, p01, p10, p11, wx, wy)
+
+
+def _gs_fwd(image, grid, padding_mode):
+    p00, p01, p10, p11, wx, wy = _gs_patches(image, grid, padding_mode)
+    out = _gs_combine(p00, p01, p10, p11, wx, wy)
+    return out, (image, grid, p00, p01, p10, p11, wx, wy)
+
+
+def _gs_bwd(padding_mode, res, g):
+    image, grid, p00, p01, p10, p11, wx, wy = res
+    B, H, W, C = image.shape
+    wxe = wx[..., None]
+    wye = wy[..., None]
+    # d out / d wx = (1-wy)(p01-p00) + wy(p11-p10); chain to normalized gx
+    dwx = jnp.sum(g * ((p01 - p00) * (1.0 - wye) + (p11 - p10) * wye), -1)
+    dwy = jnp.sum(g * ((p10 - p00) * (1.0 - wxe) + (p11 - p01) * wxe), -1)
+    dgx = dwx * (0.5 * (W - 1))
+    dgy = dwy * (0.5 * (H - 1))
+    dgrid = jnp.stack([dgx, dgy], axis=-1)
+    # image cotangent via the scatter-adding XLA path; DCE'd when unused
+    _, vjp = jax.vjp(
+        lambda im: _grid_sample_xla(im, grid, padding_mode), image)
+    dimage, = vjp(g)
+    return dimage, dgrid
+
+
+grid_sample.defvjp(_gs_fwd, _gs_bwd)
 
 
 ########################################################################################################################

@@ -75,6 +75,35 @@ def test_grid_sample_gradient_finite(rng):
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.quick
+@pytest.mark.parametrize('padding', ['zeros', 'border'])
+def test_grid_sample_custom_vjp_matches_torch_grads(rng, padding):
+    """The residual-based custom VJP (analytic coordinate gradient, zero
+    gathers/scatters in bwd) must match torch.grid_sample autograd for BOTH
+    cotangents, including out-of-bounds taps."""
+    import jax
+    x_np = rng.randn(2, 12, 18, 3).astype(np.float32)
+    grid_np = (rng.rand(2, 9, 11, 2).astype(np.float32) * 2.6 - 1.3)
+    cot_np = rng.randn(2, 9, 11, 3).astype(np.float32)
+
+    xt = torch.from_numpy(to_nchw(x_np)).requires_grad_(True)
+    gt = torch.from_numpy(grid_np).requires_grad_(True)
+    out_t = F.grid_sample(xt, gt, mode='bilinear', padding_mode=padding,
+                          align_corners=True)
+    out_t.backward(torch.from_numpy(to_nchw(cot_np)))
+
+    def f(im, gr):
+        return jnp.sum(grid_sample(im, gr, padding_mode=padding)
+                       * jnp.asarray(cot_np))
+
+    dim, dgr = jax.grad(f, argnums=(0, 1))(jnp.asarray(x_np),
+                                           jnp.asarray(grid_np))
+    np.testing.assert_allclose(np.asarray(dgr), gt.grad.numpy(),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dim), to_nhwc(xt.grad.numpy()),
+                               rtol=1e-4, atol=2e-4)
+
+
 def test_gradients_and_flip(rng):
     x = rng.randn(2, 8, 9, 3).astype(np.float32)
     t = torch.from_numpy(to_nchw(x))
