@@ -83,7 +83,7 @@ def setup_model(config, prepared=True):
         pose_net = setup_pose_net(model_cfg.pose_net, dtype=dtype)
 
     photometric = MultiViewPhotometricLoss(
-        num_scales=4,
+        num_scales=loss_cfg.num_scales,
         ssim_loss_weight=loss_cfg.ssim_loss_weight,
         occ_reg_weight=loss_cfg.occ_reg_weight,
         smooth_loss_weight=loss_cfg.smooth_loss_weight,

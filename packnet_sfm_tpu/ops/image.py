@@ -150,32 +150,50 @@ def _grid_sample_xla(image, grid, padding_mode='zeros'):
 
 
 def _gs_patches(image, grid, padding_mode):
-    """Gather the 4 bilinear taps once. Returns (p00, p01, p10, p11, wx, wy)
-    with out-of-bounds taps already zeroed in 'zeros' mode, so both the value
-    and the coordinate gradient are pure elementwise math over these."""
+    """Gather the 4 bilinear taps with ONE gather. Returns
+    (p00, p01, p10, p11, wx, wy) with out-of-bounds taps already zeroed in
+    'zeros' mode, so both the value and the coordinate gradient are pure
+    elementwise math over these.
+
+    TPU: gather cost here is INDEX-bound, not byte-bound (measured: a
+    [B,HW] gather of 12-wide slices costs the same ~10 ms as 3-wide at
+    192x640 bs8). Packing the 4 taps as edge-shifted channel copies
+    [B,H,W,4C] and gathering once at (y0,x0) therefore cuts the warp's
+    gather time 4x vs four separate taps."""
     B, H, W, C = image.shape
     gx, gy = grid[..., 0], grid[..., 1]
     x = (gx + 1.0) * 0.5 * (W - 1)
     y = (gy + 1.0) * 0.5 * (H - 1)
+    if padding_mode == 'border':
+        # clamp coordinates first (torch border semantics); identical output
+        # to per-tap clamping because wx/wy hit 0/1 at the borders
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = x - x0
     wy = y - y0
-    flat = image.reshape(B, H * W, C)
 
-    def tap(yi, xi):
-        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-        idx = yc * W + xc
-        p = jnp.take_along_axis(
-            flat, idx.reshape(B, -1, 1), axis=1).reshape(idx.shape + (C,))
-        if padding_mode == 'zeros':
-            v = ((yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1))
-            p = p * v.astype(p.dtype)[..., None]
-        return p
+    # 2-pixel pad (zeros: constant 0 / border: edge) + clamped indices makes
+    # every out-of-bounds case exact with NO per-tap validity masks: any tap
+    # whose true position is outside lands in the dead border, and clamping
+    # far-OOB indices keeps BOTH taps of the (x0, x0+1) pair in it.
+    pad_mode = 'constant' if padding_mode == 'zeros' else 'edge'
+    P = jnp.pad(image, ((0, 0), (2, 2), (2, 2), (0, 0)), mode=pad_mode)
+    Hp, Wp = H + 4, W + 4
+    right = jnp.concatenate([P[:, :, 1:], P[:, :, -1:]], axis=2)
+    down = jnp.concatenate([P[:, 1:], P[:, -1:]], axis=1)
+    down_right = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    packed = jnp.concatenate([P, right, down, down_right], axis=-1)
 
-    return (tap(y0, x0), tap(y0, x0 + 1.0),
-            tap(y0 + 1.0, x0), tap(y0 + 1.0, x0 + 1.0), wx, wy)
+    yc = jnp.clip(y0 + 2.0, 0, Hp - 2).astype(jnp.int32)
+    xc = jnp.clip(x0 + 2.0, 0, Wp - 2).astype(jnp.int32)
+    idx = (yc * Wp + xc).reshape(B, -1, 1)
+    taps = jnp.take_along_axis(
+        packed.reshape(B, Hp * Wp, 4 * C), idx, axis=1
+    ).reshape(B, grid.shape[1], grid.shape[2], 4, C)
+    return (taps[..., 0, :], taps[..., 1, :], taps[..., 2, :],
+            taps[..., 3, :], wx, wy)
 
 
 def _gs_combine(p00, p01, p10, p11, wx, wy):
@@ -225,6 +243,12 @@ def _gs_bwd(padding_mode, res, g):
     dwy = jnp.sum(g * ((p10 - p00) * (1.0 - wxe) + (p11 - p01) * wxe), -1)
     dgx = dwx * (0.5 * (W - 1))
     dgy = dwy * (0.5 * (H - 1))
+    if padding_mode == 'border':
+        # the forward clamps coordinates; its gradient is zero outside
+        xu = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+        yu = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+        dgx = dgx * ((xu >= 0) & (xu <= W - 1)).astype(dgx.dtype)
+        dgy = dgy * ((yu >= 0) & (yu <= H - 1)).astype(dgy.dtype)
     dgrid = jnp.stack([dgx, dgy], axis=-1)
     # image cotangent via the scatter-adding XLA path; DCE'd when unused
     _, vjp = jax.vjp(

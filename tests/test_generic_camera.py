@@ -84,7 +84,7 @@ def test_streaming_projection_matches_dense():
 @pytest.mark.quick
 def test_pallas_projection_matches_dense():
     """Pallas kernel (interpret mode off-TPU) == dense softmax: values and
-    gradients (bwd is the XLA-recompute VJP)."""
+    gradients (bwd is the analytic Pallas adjoint kernel)."""
     rng = np.random.RandomState(2)
     rays = pinhole_ray_surface(make_K(), H, W)
     rays = rays + jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32)) * 0.02
@@ -108,6 +108,39 @@ def test_pallas_projection_matches_dense():
     g_pall = np.asarray(jax.grad(lambda r: loss(r, 'pallas'))(rays))
     np.testing.assert_allclose(g_pall, g_dense, rtol=5e-3,
                                atol=2e-3 * np.abs(g_dense).max())
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize('shape', [(1, 10, 16, 4),   # border-dominated
+                                   (2, 9, 11, 4),    # k1 == H (full-height window)
+                                   (1, 21, 48, 2)])  # odd row tile (TH=7)
+def test_pallas_projection_analytic_adjoint(shape):
+    """The analytic Pallas backward kernel (softmax-expectation gradient +
+    inverse-roll scatter, ops/pallas/generic_projection.py _proj_bwd_kernel)
+    equals autodiff through the XLA streaming oracle, including the shifted
+    border windows and row tiles that alias ray rows."""
+    from packnet_sfm_tpu.ops.pallas.generic_projection import (
+        expected_patch_coords, _expected_xla)
+    b, h, w, p = shape
+    rng = np.random.RandomState(3)
+    ray = jnp.asarray(rng.randn(b, 3, h, w), jnp.float32)
+    d = jnp.asarray(rng.randn(b, 3, h, w), jnp.float32)
+    gy = jnp.asarray(rng.randn(b, h, w), jnp.float32)
+    gx = jnp.asarray(rng.randn(b, h, w), jnp.float32)
+
+    def lp(r, dd):
+        rows, cols = expected_patch_coords(r, dd, p, True)
+        return jnp.sum(rows * gy) + jnp.sum(cols * gx)
+
+    def lx(r, dd):
+        rows, cols = _expected_xla(r, dd, p)
+        return jnp.sum(rows * gy) + jnp.sum(cols * gx)
+
+    g_pall = jax.grad(lp, argnums=(0, 1))(ray, d)
+    g_xla = jax.grad(lx, argnums=(0, 1))(ray, d)
+    for a, b_ in zip(g_pall, g_xla):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        np.testing.assert_allclose(a, b_, atol=5e-5 * np.abs(b_).max())
 
 
 def test_generic_selfsup_model_trains():
