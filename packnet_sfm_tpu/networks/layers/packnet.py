@@ -105,6 +105,12 @@ class InvDepth(nn.Module):
         return nn.sigmoid(x.astype(jnp.float32)) / self.min_depth
 
 
+# module-level default for _Conv3DStack.impl, overridable for A/B benchmarks
+# (flax bakes dataclass defaults at class creation, so benchmarks set this
+# BEFORE model setup; both impls are numerically identical)
+CONV3D_IMPL = 'depthwin2d'
+
+
 class _Conv3DStack(nn.Module):
     """Conv3D(1->d) over (channel-as-depth, H, W) then flatten to channels.
 
@@ -153,7 +159,7 @@ class PackLayerConv3d(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = packing(x, self.r)
-        x = _Conv3DStack(self.d, self.dtype)(x)
+        x = _Conv3DStack(self.d, self.dtype, impl=CONV3D_IMPL)(x)
         return Conv2D(self.features, self.kernel_size, 1, self.dtype)(x)
 
 
@@ -169,5 +175,5 @@ class UnpackLayerConv3d(nn.Module):
     def __call__(self, x):
         x = Conv2D(self.features * (self.r ** 2) // self.d,
                    self.kernel_size, 1, self.dtype)(x)
-        x = _Conv3DStack(self.d, self.dtype)(x)
+        x = _Conv3DStack(self.d, self.dtype, impl=CONV3D_IMPL)(x)
         return unpacking(x, self.r)
