@@ -21,14 +21,14 @@ semi-sup stacks is ~55 img/s (bs 8, fp32) — vs_baseline is against 2x that
 
 Timing methodology (round-2, corrected): W windows of K chained steps, no
 host sync inside a window, BEST window reported; per-window timings go to
-stderr. Window sync is a VALUE FETCH of the last step's loss —
-`jax.block_until_ready` on the outputs of a donated-argument execution
-returns immediately on this backend (donor-aliased buffers are reported
-ready before the program runs), which silently turned earlier windows into
-dispatch-rate measurements ~17x above hardware truth. Fetching the scalar
-forces real completion; the chained state dependency makes the window time
-the true per-step cost (measured: donate=False block-sync, donate=False
-value-sync, and donate=True value-sync all agree within 3%).
+stderr. Window sync is a VALUE FETCH of the last step's loss. Observed on
+this backend: `block_until_ready`-synced windows over donated-argument
+executions measured ~17x faster than value-fetch windows (dispatch rate,
+not hardware truth — the exact buffer-readiness semantics under donation
+were not isolated further). The value fetch is the unambiguous, strictly
+stronger sync and is what we use. Cross-checks agree: donate=False
+block-sync, donate=False value-sync, and donate=True value-sync are all
+within 3% of each other.
 """
 
 import json
@@ -43,8 +43,8 @@ BASELINE_IMG_S = 110.0  # 2x A100-PyTorch target (BASELINE.md north star)
 def _bench_step(step, state, batch, key, windows=4, iters=8, warmup=3):
     """Best-window throughput timing. Returns (sec_per_iter, all_windows).
 
-    Sync by FETCHING the loss value: block_until_ready on donated-execution
-    outputs is a no-op on this backend (see module docstring)."""
+    Sync by FETCHING the loss value — the unambiguous completion sync on
+    this backend (see module docstring)."""
     import jax
     for i in range(warmup):
         state, metrics = step(state, batch, jax.random.fold_in(key, i), 0.0)

@@ -4,8 +4,9 @@ Host-side data loader: sharded, batched, prefetched.
 Replaces the reference's DataLoader + DistributedSampler stack
 (reference: model_wrapper.py:1138-1216): the index space is sharded by
 jax.process_index() (the DistributedSampler equivalent), batches are collated
-into stacked numpy arrays (static shapes — drop_last always true so XLA never
-recompiles), and a background thread keeps `prefetch` batches ahead of the
+into stacked numpy arrays (static shapes — train uses drop_last=True so XLA
+never recompiles; eval may pass drop_last=False and pay at most one ragged
+final-batch compile), and a background thread keeps `prefetch` batches ahead of the
 device. Worker parallelism uses a thread pool (decode is numpy/PIL which
 releases the GIL); the C++ decode path (csrc/) slots in underneath.
 """

@@ -168,13 +168,19 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
 
 
 def make_eval_step(model, mesh=None):
-    """Jitted eval forward: (state, batch) -> model outputs (no grads)."""
+    """Jitted eval forward: (state, batch) -> model outputs (no grads).
+
+    With a mesh, outputs are pinned replicated so downstream host fetches
+    see one logical array regardless of the batch's input sharding."""
 
     def eval_step(state, batch):
         return model.apply(
             {'params': state.params, 'batch_stats': state.batch_stats},
             batch, train=False)
 
+    if mesh is not None and len(mesh.devices.flat) > 1:
+        return jax.jit(eval_step,
+                       out_shardings=NamedSharding(mesh, P()))
     return jax.jit(eval_step)
 
 
