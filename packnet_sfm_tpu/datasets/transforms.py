@@ -23,45 +23,61 @@ def _is_int(x):
     return isinstance(x, (int, np.integer))
 
 
+def _axis_bounds(start_raw, end_raw, size):
+    """Resolve one axis of the 4-value crop form to [start, end).
+
+    Integers: a negative start counts back from the far border; an end <= 0
+    also counts from the far border, while a positive end is a LENGTH from
+    the resolved start. Floats: start_raw is a center FRACTION of the axis
+    and end_raw an extent in pixels, centered on it.
+    """
+    if _is_int(start_raw):
+        start = start_raw + size if start_raw < 0 else start_raw
+        end = end_raw + size if end_raw <= 0 else start + end_raw
+        return start, end
+    center = start_raw * size
+    return int(center - end_raw / 2), int(center + end_raw / 2)
+
+
+def _axis_margin(value, size):
+    """Resolve one axis of the 2-value crop form: a positive value trims
+    from the near border, a negative one from the far border."""
+    return max(0, value), size + min(0, value)
+
+
 def parse_crop_borders(borders, shape):
-    """(left, top, right, bottom) from the reference's border mini-language
-    (utils/misc.py:77-146)."""
+    """(left, top, right, bottom) crop window from the crop mini-language.
+
+    Behavioral contract (must match reference utils/misc.py:77-146, pinned
+    by golden tests):
+    - () keeps the full image
+    - (ys, ye, xs, xe): per-axis int offsets/lengths or float
+      center-fraction + pixel-extent pairs (see _axis_bounds); the two axes
+      resolve independently, so mixed int/float axes are legal
+    - (extent, value): int -> symmetric margin trim on both axes; float ->
+      `value` is the center fraction and `extent` the pixel size of a
+      centered window on both axes
+    """
+    H, W = shape[0], shape[1]
     if len(borders) == 0:
-        return 0, 0, shape[1], shape[0]
-    borders = list(borders).copy()
+        return 0, 0, W, H
     if len(borders) == 4:
-        borders = [borders[2], borders[0], borders[3], borders[1]]
-        if _is_int(borders[0]):
-            borders[0] += shape[1] if borders[0] < 0 else 0
-            borders[2] += shape[1] if borders[2] <= 0 else borders[0]
-        else:
-            center_w, half_w = borders[0] * shape[1], borders[2] / 2
-            borders[0] = int(center_w - half_w)
-            borders[2] = int(center_w + half_w)
-        if _is_int(borders[1]):
-            borders[1] += shape[0] if borders[1] < 0 else 0
-            borders[3] += shape[0] if borders[3] <= 0 else borders[1]
-        else:
-            center_h, half_h = borders[1] * shape[0], borders[3] / 2
-            borders[1] = int(center_h - half_h)
-            borders[3] = int(center_h + half_h)
+        ys, ye, xs, xe = borders
+        left, right = _axis_bounds(xs, xe, W)
+        top, bottom = _axis_bounds(ys, ye, H)
     elif len(borders) == 2:
-        borders = [borders[1], borders[0]]
-        if _is_int(borders[0]):
-            borders = (max(0, borders[0]), max(0, borders[1]),
-                       shape[1] + min(0, borders[0]),
-                       shape[0] + min(0, borders[1]))
+        extent, value = borders
+        if _is_int(value):
+            left, right = _axis_margin(value, W)
+            top, bottom = _axis_margin(extent, H)
         else:
-            center_w, half_w = borders[0] * shape[1], borders[1] / 2
-            center_h, half_h = borders[0] * shape[0], borders[1] / 2
-            borders = (int(center_w - half_w), int(center_h - half_h),
-                       int(center_w + half_w), int(center_h + half_h))
+            left, right = _axis_bounds(value, extent, W)
+            top, bottom = _axis_bounds(value, extent, H)
     else:
         raise NotImplementedError('Crop tuple must have 2 or 4 values.')
-    assert 0 <= borders[0] < borders[2] <= shape[1] and \
-           0 <= borders[1] < borders[3] <= shape[0], \
-           'Crop borders {} are invalid'.format(borders)
-    return tuple(borders)
+    assert 0 <= left < right <= W and 0 <= top < bottom <= H, \
+        'Crop borders {} are invalid'.format((left, top, right, bottom))
+    return left, top, right, bottom
 
 
 ########################################################################################################################

@@ -200,9 +200,18 @@ class MultiViewPhotometricLoss:
                 photometric_losses[i].append(photo[i])
             if self.automask_loss:
                 ref_scales = match_scales(ref_image, scale_shapes, n)
-                unwarped = self._photometric(ref_scales, images, masks_scaled)
+                # under upsample_depth_maps=True every scale is full-res, so
+                # the n unwarped maps are IDENTICAL — compute each distinct
+                # (ref, target) pair once instead of relying on XLA CSE
+                uniq = {}
                 for i in range(n):
-                    photometric_losses[i].append(unwarped[i])
+                    key = (id(ref_scales[i]), id(images[i]),
+                           id(masks_scaled[i]))
+                    if key not in uniq:
+                        uniq[key] = self._photometric(
+                            [ref_scales[i]], [images[i]],
+                            [masks_scaled[i]])[0]
+                    photometric_losses[i].append(uniq[key])
 
         loss = self._reduce(photometric_losses)
         metrics = {'photometric_loss': loss}

@@ -15,6 +15,22 @@ which vectorizes perfectly on the MXU and — at 5% fill of small feature maps
 normalizes over active sites only (matching MinkowskiBatchNorm), and the
 stride-2 "pooling" is a masked max-pool with a mask OR-reduction.
 
+TPU performance notes (round 3):
+- Everything in this stack maintains the invariant "inactive sites hold
+  exactly 0", so the masked tensors ARE the dense tensors and almost all
+  `* mask` multiplies are algebraically redundant. The only places a mask
+  multiply is required: after a conv (the conv smears values into inactive
+  sites) and after a BatchNorm affine (bias shifts inactive zeros).
+- MaskedBatchNorm computes sum(x) and sum(x*x) in ONE pass (the zero
+  invariant makes the mask multiplies in the statistics free), in fp32,
+  with var = E[x^2] - E[x]^2 — the same uncentered one-pass form flax's
+  BatchNorm uses. The previous two-pass (mean, then (x-mean)^2) serialized
+  two full HBM sweeps per BN and was 25% of the flagship step's device time
+  (BENCH_NOTES round-2 profile).
+- masked_max_pool is an explicit 9-way strided-slice maximum instead of
+  lax.reduce_window: identical forward, but the backward differentiates to
+  cheap pad+select chains instead of XLA:TPU's slow select_and_scatter.
+
 Structure matched to the reference:
 - MinkConv2D: optional pool(3, s2) -> 3 parallel conv stacks (1/2/3 convs) ->
   sum -> BN+ReLU (minkowski_encoder.py:12-87)
@@ -38,23 +54,47 @@ def sparsify_depth(depth):
     return depth * mask, mask
 
 
+def _pool_slices(xp, window, stride, out_h, out_w):
+    """The `window`^2 strided shifts of a padded [B,H,W,C] array."""
+    for di in range(window):
+        for dj in range(window):
+            yield xp[:, di:di + stride * (out_h - 1) + 1:stride,
+                     dj:dj + stride * (out_w - 1) + 1:stride, :]
+
+
 def masked_max_pool(x, mask, window=3, stride=2):
-    """Max-pool active features; mask pools by OR (any active in window)."""
-    pad = ((0, 0), (window // 2,) * 2, (window // 2,) * 2, (0, 0))
+    """Max-pool active features; mask pools by OR (any active in window).
+
+    Implemented as an explicit maximum over the window's strided shifts:
+    forward-identical to lax.reduce_window, but autodiff produces dense
+    pad/select ops instead of select_and_scatter (slow on XLA:TPU).
+    Expects x == 0 at inactive sites; output keeps that invariant.
+    """
+    pad = window // 2
+    B, H, W, C = x.shape
+    out_h = (H + 2 * pad - window) // stride + 1
+    out_w = (W + 2 * pad - window) // stride + 1
     neg = jnp.where(mask > 0, x, -jnp.inf)
-    pooled = jax.lax.reduce_window(
-        neg, -jnp.inf, jax.lax.max,
-        window_dimensions=(1, window, window, 1),
-        window_strides=(1, stride, stride, 1), padding=pad)
-    pooled_mask = jax.lax.reduce_window(
-        mask, 0.0, jax.lax.max,
-        window_dimensions=(1, window, window, 1),
-        window_strides=(1, stride, stride, 1), padding=pad)
+    negp = jnp.pad(neg, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                   constant_values=-jnp.inf)
+    maskp = jnp.pad(mask, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    pooled = None
+    for s in _pool_slices(negp, window, stride, out_h, out_w):
+        pooled = s if pooled is None else jnp.maximum(pooled, s)
+    pooled_mask = None
+    for s in _pool_slices(maskp, window, stride, out_h, out_w):
+        pooled_mask = s if pooled_mask is None else jnp.maximum(pooled_mask, s)
     return jnp.where(pooled_mask > 0, pooled, 0.0), pooled_mask
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm over active sites only (MinkowskiBatchNorm semantics)."""
+    """BatchNorm over active sites only (MinkowskiBatchNorm semantics).
+
+    Requires the input to be PRE-MASKED (x == 0 at inactive sites) — the
+    invariant every producer in this module maintains. Statistics are then
+    plain sums over the whole tensor, computed in ONE fp32 pass with the
+    uncentered variance form (matching flax.linen.BatchNorm's numerics).
+    """
     momentum: float = 0.9
     epsilon: float = 1e-5
 
@@ -69,9 +109,13 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param('bias', nn.initializers.zeros, (C,))
 
         if train:
-            cnt = jnp.maximum(jnp.sum(mask), 1.0)
-            mean = jnp.sum(x * mask, axis=(0, 1, 2)) / cnt
-            var = jnp.sum(((x - mean) ** 2) * mask, axis=(0, 1, 2)) / cnt
+            xf = x.astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+            # x is zero at inactive sites -> sums over ALL sites equal sums
+            # over active sites; s1/s2 fuse into one sweep of x.
+            mean = jnp.sum(xf, axis=(0, 1, 2)) / cnt
+            mean2 = jnp.sum(xf * xf, axis=(0, 1, 2)) / cnt
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
@@ -83,7 +127,12 @@ class MaskedBatchNorm(nn.Module):
 
 
 class _MaskedConvSeq(nn.Module):
-    """Sequence of masked convs with BN+ReLU between (one stack of MinkConv2D)."""
+    """Sequence of masked convs with BN+ReLU between (one stack of MinkConv2D).
+
+    Input must be pre-masked; output is masked. The only mask multiply per
+    conv is on the conv OUTPUT (the conv spreads values into inactive
+    sites); BN re-masks after its affine, and relu preserves zeros.
+    """
     widths: Sequence[int]
     kernel_size: int = 3
     dtype: jnp.dtype = jnp.float32
@@ -94,10 +143,9 @@ class _MaskedConvSeq(nn.Module):
         for i, w in enumerate(self.widths):
             x = nn.Conv(w, (self.kernel_size, self.kernel_size),
                         padding=self.kernel_size // 2, kernel_init=XAVIER,
-                        dtype=self.dtype)(x * mask) * mask
+                        dtype=self.dtype)(x) * mask
             if i < n - 1:
-                x = MaskedBatchNorm()(x, mask, train)
-                x = nn.relu(x) * mask
+                x = nn.relu(MaskedBatchNorm()(x, mask, train))
         return x
 
 
@@ -116,9 +164,9 @@ class MinkConv2D(nn.Module):
         x1 = _MaskedConvSeq([f], k, self.dtype)(x, mask, train)
         x2 = _MaskedConvSeq([2 * f, f], k, self.dtype)(x, mask, train)
         x3 = _MaskedConvSeq([2 * f, 2 * f, f], k, self.dtype)(x, mask, train)
-        y = x1 + x2 + x3
-        y = MaskedBatchNorm()(y, mask, train)
-        return nn.relu(y) * mask, mask
+        y = x1 + x2 + x3  # each stack output is masked -> the sum is
+        y = nn.relu(MaskedBatchNorm()(y, mask, train))
+        return y, mask
 
 
 class MinkowskiEncoder(nn.Module):
@@ -150,8 +198,8 @@ class MinkowskiEncoder(nn.Module):
         self.films = films
 
     def __call__(self, scale, feats, mask, train=True):
-        feats, mask = self.mconvs[scale](feats, mask, train)
-        dense = feats * mask  # densify: zeros at inactive sites
+        dense, mask = self.mconvs[scale](feats, mask, train)
+        # MinkConv2D output is already densified (zeros at inactive sites)
         if str(scale) in self.films:
             pooled = dense.mean(axis=(1, 2), keepdims=True)  # AdaptiveAvgPool2d(1)
             params = self.films[str(scale)](pooled)

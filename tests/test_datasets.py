@@ -160,6 +160,23 @@ def test_ncdb_image_path_split(ncdb_root):
     assert ds[0]['filename'] == 'frame_0001'
 
 
+@pytest.mark.parametrize('borders,shape,want', [
+    # golden values generated from the reference utils/misc.py:77-146
+    ((), (375, 1242), (0, 0, 1242, 375)),
+    ((-352, 0, 0.5, 1216), (375, 1242), (13, 23, 1229, 375)),
+    ((10, 20, 30, 40), (100, 200), (30, 10, 70, 30)),      # end = length
+    ((10, -20, 30, -40), (100, 200), (30, 10, 160, 80)),   # end <= 0 = from far border
+    ((-50, 0, -60, 0), (100, 200), (140, 50, 200, 100)),   # negative start
+    ((0.5, 80, 0.5, 100), (100, 200), (50, 10, 150, 90)),  # centered floats
+    ((0.25, 40, 30, -40), (100, 200), (30, 5, 160, 45)),   # mixed axes
+    ((10, 20), (100, 200), (20, 10, 200, 100)),            # 2-value margins
+    ((-10, -20), (100, 200), (0, 0, 180, 90)),
+    ((80, 0.5), (100, 200), (60, 10, 140, 90)),            # 2-value centered
+])
+def test_parse_crop_borders_reference_golden(borders, shape, want):
+    assert tuple(parse_crop_borders(borders, shape)) == want
+
+
 def test_parse_crop_borders_kitti_san():
     """The KITTI-SAN config's (-352, 0, 0.5, 1216) -> bottom 352 rows,
     centered 1216 px (SURVEY.md §2.11)."""
