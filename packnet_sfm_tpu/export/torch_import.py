@@ -281,3 +281,263 @@ def load_pretrained_yolov8(variables, variant='s', weights_path=None,
     new_vars['batch_stats'][backbone_key] = to_jnp(stats)
     print('[pretrained] loaded {} into {}'.format(path, backbone_key))
     return new_vars
+
+
+########################################################################################################################
+# FULL reference-checkpoint interop: ResNetSAN01 (encoder+decoder+SAN+FiLM)
+#
+# Maps a reference-format torch state_dict — the naming produced by
+# /root/reference/packnet_sfm/networks/depth/ResNetSAN01.py:61-131 with the
+# prefix handling of utils/load.py:114-163 — onto our flax ResNetSAN01
+# variables, and back. This is the checkpoint-level parity surface: a
+# reference-trained .ckpt ingested here must produce identical eval metrics
+# (tests/test_reference_ckpt.py pins the round-trip; the RGB path is also
+# cross-checked against the torch mirror).
+#
+# MinkowskiEngine kernels are stored [k*k, cin, cout] with the FIRST sparse
+# coordinate axis (row) varying fastest in the kernel-offset enumeration
+# (ME KernelGenerator hypercube order); `me_kernel_order` lets a genuine
+# TRI checkpoint flip that assumption if it disagrees.
+
+_MCONV_SEQS = {          # reference layer name -> (our module, conv slots)
+    'layer1': ('_MaskedConvSeq_0', [('0', 'Conv_0')], []),
+    'layer2': ('_MaskedConvSeq_1', [('0', 'Conv_0'), ('3', 'Conv_1')],
+               [('1', 'MaskedBatchNorm_0')]),
+    'layer3': ('_MaskedConvSeq_2',
+               [('0', 'Conv_0'), ('3', 'Conv_1'), ('6', 'Conv_2')],
+               [('1', 'MaskedBatchNorm_0'), ('4', 'MaskedBatchNorm_1')]),
+}
+
+
+def _me_kernel_to_hwio(kernel, me_kernel_order='first_axis_fastest'):
+    k2, cin, cout = kernel.shape
+    k = int(round(k2 ** 0.5))
+    arr = np.asarray(kernel).reshape(k, k, cin, cout)
+    if me_kernel_order == 'first_axis_fastest':
+        arr = np.transpose(arr, (1, 0, 2, 3))   # [x,y,...] -> [y,x,...]
+    return arr
+
+
+def _hwio_to_me_kernel(kernel, me_kernel_order='first_axis_fastest'):
+    kh, kw, cin, cout = kernel.shape
+    arr = np.asarray(kernel)
+    if me_kernel_order == 'first_axis_fastest':
+        arr = np.transpose(arr, (1, 0, 2, 3))
+    return arr.reshape(kh * kw, cin, cout)
+
+
+def _bn_from_ref(sd, prefix):
+    p = {'scale': np.asarray(sd[prefix + 'weight']),
+         'bias': np.asarray(sd[prefix + 'bias'])}
+    s = {'mean': np.asarray(sd[prefix + 'running_mean']),
+         'var': np.asarray(sd[prefix + 'running_var'])}
+    return p, s
+
+
+def _decoder_modlist_names(scales=(0, 1, 2, 3)):
+    """reference ModuleList index -> our decoder module name
+    (depth_decoder.py:29-46 insert order)."""
+    names = []
+    for i in range(4, -1, -1):
+        names.append(('upconv_{}_0'.format(i), True))
+        names.append(('upconv_{}_1'.format(i), True))
+    for s in scales:
+        names.append(('dispconv_{}'.format(s), False))
+    return names
+
+
+def reference_depth_net_to_flax(sd, num_layers=18,
+                                me_kernel_order='first_axis_fastest'):
+    """reference ResNetSAN01 state_dict (keys relative to depth_net) ->
+    (params, batch_stats) trees for our flax ResNetSAN01."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    enc_sd = {k[len('encoder.encoder.'):]: v for k, v in sd.items()
+              if k.startswith('encoder.encoder.')}
+    enc_p, enc_s = torchvision_resnet_to_flax(enc_sd, num_layers)
+
+    dec_p = {}
+    for n, (name, is_block) in enumerate(_decoder_modlist_names()):
+        pre = 'decoder.decoder.{}.conv.'.format(n)
+        pre = pre + 'conv.' if is_block else pre
+        dec_p[name] = {'Conv_0': {'kernel': _k(sd[pre + 'weight']),
+                                  'bias': np.asarray(sd[pre + 'bias'])}}
+
+    mc_p, mc_s = {}, {}
+    n_stages = len({k.split('.')[2] for k in sd
+                    if k.startswith('mconvs.mconvs.')})
+    for st in range(n_stages):
+        base = 'mconvs.mconvs.{}.'.format(st)
+        p, s = {}, {}
+        for lname, (ours, convs, bns) in _MCONV_SEQS.items():
+            sp, ss = {}, {}
+            for slot, conv_name in convs:
+                kern = _me_kernel_to_hwio(
+                    sd[base + '{}.{}.kernel'.format(lname, slot)],
+                    me_kernel_order)
+                # ME convs are bias-free; our nn.Conv carries a zero bias
+                sp[conv_name] = {'kernel': kern,
+                                 'bias': np.zeros(kern.shape[-1], np.float32)}
+            for slot, bn_name in bns:
+                bp, bs = _bn_from_ref(
+                    sd, base + '{}.{}.bn.'.format(lname, slot))
+                sp[bn_name] = bp
+                ss[bn_name] = bs
+            p[ours] = sp
+            if ss:
+                s[ours] = ss
+        fp, fs = _bn_from_ref(sd, base + 'layer_final.0.bn.')
+        p['MaskedBatchNorm_0'] = fp
+        s['MaskedBatchNorm_0'] = fs
+        mc_p['mconv_{}'.format(st)] = p
+        mc_s['mconv_{}'.format(st)] = s
+    for k in sd:
+        if k.startswith('mconvs.film_generators.'):
+            scale = k.split('.')[2]
+            if k.endswith('.1.weight'):
+                mc_p.setdefault('film_{}'.format(scale), {})['kernel'] = \
+                    _k(sd[k])
+            elif k.endswith('.1.bias'):
+                mc_p.setdefault('film_{}'.format(scale), {})['bias'] = \
+                    np.asarray(sd[k])
+
+    params = {'encoder': enc_p, 'decoder': dec_p}
+    stats = {'encoder': enc_s}
+    if mc_p:
+        params['mconvs'] = mc_p
+        stats['mconvs'] = mc_s
+    if 'weight' in sd:
+        params['weight'] = np.asarray(sd['weight'])
+        params['bias'] = np.asarray(sd['bias'])
+    return params, stats
+
+
+def flax_to_reference_depth_net(variables, num_layers=18,
+                                me_kernel_order='first_axis_fastest'):
+    """Inverse of reference_depth_net_to_flax: our flax ResNetSAN01
+    variables -> a reference-format (numpy) state_dict."""
+    p = jax_to_np(variables['params'])
+    s = jax_to_np(variables.get('batch_stats', {}))
+    sd = {}
+
+    def put_tv_bn(pre, bp, bs):
+        sd[pre + 'weight'] = bp['scale']
+        sd[pre + 'bias'] = bp['bias']
+        sd[pre + 'running_mean'] = bs['mean']
+        sd[pre + 'running_var'] = bs['var']
+
+    # encoder -> torchvision names
+    ep, es = p['encoder'], s['encoder']
+    blocks = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3]}[num_layers]
+    sd['encoder.encoder.conv1.weight'] = _k_inv(ep['Conv_0']['kernel'])
+    put_tv_bn('encoder.encoder.bn1.', ep['BatchNorm_0'], es['BatchNorm_0'])
+    b = 0
+    for stage in range(4):
+        for blk in range(blocks[stage]):
+            pre = 'encoder.encoder.layer{}.{}.'.format(stage + 1, blk)
+            name = 'BasicBlock_{}'.format(b)
+            sd[pre + 'conv1.weight'] = _k_inv(ep[name]['Conv_0']['kernel'])
+            put_tv_bn(pre + 'bn1.', ep[name]['BatchNorm_0'],
+                      es[name]['BatchNorm_0'])
+            sd[pre + 'conv2.weight'] = _k_inv(ep[name]['Conv_1']['kernel'])
+            put_tv_bn(pre + 'bn2.', ep[name]['BatchNorm_1'],
+                      es[name]['BatchNorm_1'])
+            if 'Conv_2' in ep[name]:
+                sd[pre + 'downsample.0.weight'] = \
+                    _k_inv(ep[name]['Conv_2']['kernel'])
+                put_tv_bn(pre + 'downsample.1.', ep[name]['BatchNorm_2'],
+                          es[name]['BatchNorm_2'])
+            b += 1
+
+    for n, (name, is_block) in enumerate(_decoder_modlist_names()):
+        pre = 'decoder.decoder.{}.conv.'.format(n)
+        pre = pre + 'conv.' if is_block else pre
+        sd[pre + 'weight'] = _k_inv(p['decoder'][name]['Conv_0']['kernel'])
+        sd[pre + 'bias'] = p['decoder'][name]['Conv_0']['bias']
+
+    if 'mconvs' in p:
+        mp, ms = p['mconvs'], s['mconvs']
+        stages = sorted(int(k.split('_')[1]) for k in mp
+                        if k.startswith('mconv_'))
+        for st in stages:
+            base = 'mconvs.mconvs.{}.'.format(st)
+            mod = mp['mconv_{}'.format(st)]
+            mods = ms['mconv_{}'.format(st)]
+            for lname, (ours, convs, bns) in _MCONV_SEQS.items():
+                for slot, conv_name in convs:
+                    sd[base + '{}.{}.kernel'.format(lname, slot)] = \
+                        _hwio_to_me_kernel(mod[ours][conv_name]['kernel'],
+                                           me_kernel_order)
+                for slot, bn_name in bns:
+                    pre = base + '{}.{}.bn.'.format(lname, slot)
+                    put_tv_bn(pre, mod[ours][bn_name],
+                              mods[ours][bn_name])
+            put_tv_bn(base + 'layer_final.0.bn.', mod['MaskedBatchNorm_0'],
+                      mods['MaskedBatchNorm_0'])
+        for k in mp:
+            if k.startswith('film_'):
+                scale = k.split('_')[1]
+                pre = 'mconvs.film_generators.{}.1.'.format(scale)
+                sd[pre + 'weight'] = _k_inv(mp[k]['kernel'])
+                sd[pre + 'bias'] = mp[k]['bias']
+    if 'weight' in p:
+        sd['weight'] = np.asarray(p['weight'])
+        sd['bias'] = np.asarray(p['bias'])
+    return sd
+
+
+def _k_inv(kernel):
+    """flax HWIO kernel -> torch OIHW weight."""
+    return np.transpose(np.asarray(kernel), (3, 2, 0, 1))
+
+
+def jax_to_np(tree):
+    import jax
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def strip_reference_prefix(state_dict, key='depth_net'):
+    """Extract `<...>.{key}.<rest>` entries as {rest: value} — the same
+    prefix-anywhere matching as reference utils/load.py:146-156."""
+    out = {}
+    needle = key + '.'
+    for k, v in state_dict.items():
+        idx = k.find(needle)
+        if idx >= 0:
+            out[k[idx + len(needle):]] = v
+    return out
+
+
+def load_reference_checkpoint(variables, path_or_sd, num_layers=18,
+                              key='depth_net',
+                              me_kernel_order='first_axis_fastest'):
+    """Merge a FULL reference checkpoint (torch .ckpt with 'state_dict', or
+    a raw state_dict) into our flax ResNetSAN01 variables.
+
+    Unlike the tolerant reference loader this is fail-loud: the mapped tree
+    must structurally match (missing SAN/FiLM subtrees are allowed only if
+    the checkpoint genuinely has none)."""
+    if isinstance(path_or_sd, (str, bytes)):
+        import torch
+        ckpt = torch.load(path_or_sd, map_location='cpu', weights_only=False)
+        sd = ckpt.get('state_dict', ckpt)
+    else:
+        sd = path_or_sd
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    rel = strip_reference_prefix(sd, key) if any(
+        (key + '.') in k for k in sd) else sd
+    params, stats = reference_depth_net_to_flax(
+        rel, num_layers, me_kernel_order)
+    import jax
+    import jax.numpy as jnp
+
+    def to_jnp(t):
+        return jax.tree_util.tree_map(jnp.asarray, t)
+
+    new_vars = {k: dict(v) for k, v in variables.items()}
+    merged_p = dict(new_vars['params'])
+    merged_p.update(to_jnp(params))
+    new_vars['params'] = merged_p
+    merged_s = dict(new_vars.get('batch_stats', {}))
+    merged_s.update(to_jnp(stats))
+    new_vars['batch_stats'] = merged_s
+    return new_vars

@@ -204,6 +204,31 @@ def _gs_combine(p00, p01, p10, p11, wx, wy):
     return top + (bot - top) * wy
 
 
+# Warp backend switch: 'auto' uses the Pallas matmul-gather kernel
+# (ops/pallas/warp.py) on TPU for eligible shapes with an in-graph
+# lax.cond fallback to the XLA packed-tap path when the flow leaves the
+# kernel's displacement band. 'xla' forces the packed-tap path.
+# _WARP_DTYPE runs the kernel's one-hot contraction in bf16 when the
+# photometric loss is configured for bf16 maps (set by losses/photometric).
+WARP_IMPL = 'auto'
+_WARP_DTYPE = jnp.float32
+
+
+def _gs_patches_dispatch(image, grid, padding_mode):
+    if WARP_IMPL != 'xla':
+        from packnet_sfm_tpu.ops.pallas.warp import (
+            warp_taps_pallas, warp_pallas_supported)
+        if warp_pallas_supported(image, grid):
+            p00, p01, p10, p11, wx, wy, viol = warp_taps_pallas(
+                image, grid, padding_mode, dtype=_WARP_DTYPE)
+            taps = jax.lax.cond(
+                viol,
+                lambda: _gs_patches(image, grid, padding_mode)[:4],
+                lambda: (p00, p01, p10, p11))
+            return taps + (wx, wy)
+    return _gs_patches(image, grid, padding_mode)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def grid_sample(image, grid, padding_mode='zeros'):
     """
@@ -223,12 +248,14 @@ def grid_sample(image, grid, padding_mode='zeros'):
     falls back to autodiff of the plain-XLA formulation and is dead-code
     eliminated when unused.
     """
-    p00, p01, p10, p11, wx, wy = _gs_patches(image, grid, padding_mode)
+    p00, p01, p10, p11, wx, wy = _gs_patches_dispatch(image, grid,
+                                                      padding_mode)
     return _gs_combine(p00, p01, p10, p11, wx, wy)
 
 
 def _gs_fwd(image, grid, padding_mode):
-    p00, p01, p10, p11, wx, wy = _gs_patches(image, grid, padding_mode)
+    p00, p01, p10, p11, wx, wy = _gs_patches_dispatch(image, grid,
+                                                      padding_mode)
     out = _gs_combine(p00, p01, p10, p11, wx, wy)
     return out, (image, grid, p00, p01, p10, p11, wx, wy)
 

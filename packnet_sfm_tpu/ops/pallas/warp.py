@@ -1,0 +1,232 @@
+"""
+VMEM-resident bilinear warp gather — the Pallas kernel under grid_sample.
+
+Why: the self-supervised photometric path is dominated by the warp's
+per-pixel gathers. XLA lowers them as HBM-latency-bound dynamic gathers
+(~10 ns/index on v5e regardless of slice width — BENCH_NOTES round 2), and
+the 2-context x 4-scale full-resolution warps of the KITTI workload
+(reference: packnet_sfm/losses/multiview_photometric_loss.py:185-200 with
+upsample_depth_maps=True) issue ~8M indices per training step = ~80 ms.
+
+Formulation: gather-as-matmul. Mosaic's in-register dynamic_gather has a
+measured ~2.8 us FIXED cost per op on v5e (scripts/bench_dynamic_gather.py)
+— useless at this granularity — so instead the kernel selects pixels with a
+ONE-HOT CONTRACTION on the MXU, which costs ~nothing at these shapes:
+
+- the source image is pre-packed OUTSIDE the kernel as [B, Hp, 8, Wpad]:
+  sublanes = [R,G,B, R>,G>,B>, 0,0] where X> is the one-pixel-right shift —
+  the contraction then returns BOTH horizontal bilinear taps at once (the
+  same edge-shift packing trick as the XLA packed-tap path, ops/image.py).
+- per (batch, 8-row output tile) grid program, a TILE_BAND-row band of the
+  packed source is DMA'd HBM->VMEM once.
+- per output row, the row's BH-row band is stacked into a [64, Wpad]
+  scratch (band-row s x packed-channel k in sublanes); per 128-lane output
+  chunk, a one-hot [WIN=384, 128] built from the x-indices contracts with
+  the [64, WIN] window: G[s*8+k, px] = src[band s, ch k, x(px)]. One MXU op
+  replaces 128 gathers.
+- the vertical taps fall out by selecting sublane groups: top tap where
+  s == ylocal(px), bottom where s == ylocal(px)+1 — BH cheap vector selects.
+
+Out-of-band geometry (row y-span > BH-2, tile tilt > TILE_BAND-BH, |dx|
+outside the 3-chunk window) sets a scalar violation flag OUTSIDE the kernel
+and the caller lax.cond-falls back to the XLA packed-tap path, so semantics
+stay exact for arbitrary flows. Out-of-IMAGE samples are exact by
+construction: coordinates are clamped into a 2-pixel dead border (zeros /
+edge padding) before the kernel, identical to the XLA path
+(ops/image.py:177-196).
+
+The kernel returns the four bilinear taps (packed), NOT the interpolated
+value: the taps are the residuals of grid_sample's analytic custom VJP
+(ops/image.py:236-257), so the backward pass stays pure elementwise math
+and needs no second kernel.
+
+Precision: `dtype=bfloat16` runs the contraction in bf16 (source values
+quantized to bf16, fp32 accumulation) — pair it with
+tpu.photometric_dtype=bfloat16. `float32` is tap-exact modulo fp32 MXU
+accumulation (~1 ulp).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_ROWS = 8     # output rows per grid program
+BH = 8            # per-output-row source band (y-span + bilinear + 1)
+TILE_BAND = 24    # DMA'd band per tile (covers inter-row tilt)
+LANE = 128
+WIN = 3 * LANE    # per-chunk source window (displacement band |dx| <~ 128)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _warp_kernel(n_chunks, wpad, dtype, base_t_ref, rowoff_ref,
+                 src_ref, xloc_ref, ylocal_ref,
+                 top_ref, bot_ref, band, stack, sem):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    base = base_t_ref[b * n_t + t]
+    dma = pltpu.make_async_copy(
+        src_ref.at[b, pl.ds(base, TILE_BAND)], band, sem)
+    dma.start()
+    dma.wait()
+    iota_win = jax.lax.broadcasted_iota(jnp.int32, (WIN, LANE), 0)
+    for i in range(TILE_ROWS):
+        off = rowoff_ref[b * (n_t * TILE_ROWS) + t * TILE_ROWS + i]
+        # stack this row's BH band rows: [64 = s*8+ch, wpad]
+        for s in range(BH):
+            stack[s * 8:(s + 1) * 8, :] = band[
+                pl.ds(off + s, 1)].reshape(8, wpad).astype(dtype)
+        yl = ylocal_ref[0, i:i + 1, :]                # [1, Wo]
+        xl = xloc_ref[0, i:i + 1, :]                  # [1, Wo] absolute
+        for c in range(n_chunks):
+            lane0 = c * LANE
+            wstart = min(max(0, (c - 1) * LANE), wpad - WIN)
+            xi = xl[:, lane0:lane0 + LANE] - wstart   # [1, LANE] in [0,WIN)
+            yi = yl[:, lane0:lane0 + LANE]
+            onehot = jnp.where(iota_win == jnp.broadcast_to(xi, (WIN, LANE)),
+                               jnp.array(1, dtype), jnp.array(0, dtype))
+            window = stack[:, wstart:wstart + WIN]    # [64, WIN]
+            g = jax.lax.dot_general(
+                window, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [64, LANE]
+            top = jnp.zeros((8, LANE), jnp.float32)
+            bot = jnp.zeros((8, LANE), jnp.float32)
+            for s in range(BH):
+                sel_t = jnp.broadcast_to(yi == s, (8, LANE))
+                sel_b = jnp.broadcast_to(yi == s - 1, (8, LANE))
+                gs = g[s * 8:(s + 1) * 8, :]
+                top = jnp.where(sel_t, gs, top)
+                bot = jnp.where(sel_b, gs, bot)
+            top_ref[0, i, :, lane0:lane0 + LANE] = top
+            bot_ref[0, i, :, lane0:lane0 + LANE] = bot
+
+
+def _pack_source(image, padding_mode):
+    """[B,H,W,C<=3] -> padded tap-packed [B, Hp, 8, Wpad] fp32."""
+    B, H, W, C = image.shape
+    mode = 'constant' if padding_mode == 'zeros' else 'edge'
+    P = jnp.pad(image.astype(jnp.float32),
+                ((0, 0), (2, 2), (2, 2), (0, 0)), mode=mode)
+    right = jnp.concatenate([P[:, :, 1:], P[:, :, -1:]], axis=2)
+    packed = jnp.concatenate([P, right], axis=-1).transpose(0, 1, 3, 2)
+    Hp, Wp = H + 4, W + 4
+    # at least WIN lanes so the static chunk windows always fit
+    wpad = max(_cdiv(Wp, LANE) * LANE, WIN)
+    packed = jnp.pad(packed,
+                     ((0, 0), (0, 0), (0, 8 - 2 * C), (0, wpad - Wp)))
+    return packed, Hp, wpad
+
+
+def warp_taps_pallas(image, grid, padding_mode='zeros', dtype=jnp.float32,
+                     interpret=False):
+    """Pallas replacement for the gather in ops.image._gs_patches.
+
+    Returns (p00, p01, p10, p11, wx, wy, violation) — identical tap
+    semantics to the XLA packed-tap path; `violation` is a scalar bool that
+    is True when the flow leaves the kernel's displacement band (caller
+    must then use the XLA path).
+    """
+    B, H, W, C = image.shape
+    _, Ho, Wo, _ = grid.shape
+    gx, gy = grid[..., 0], grid[..., 1]
+    x = (gx + 1.0) * 0.5 * (W - 1)
+    y = (gy + 1.0) * 0.5 * (H - 1)
+    if padding_mode == 'border':
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(jnp.float32)
+    wy = (y - y0).astype(jnp.float32)
+
+    packed, Hp, wpad = _pack_source(image, padding_mode)
+    Wp = W + 4
+    xc = jnp.clip(x0 + 2.0, 0, Wp - 2).astype(jnp.int32)   # [B,Ho,Wo]
+    yc = jnp.clip(y0 + 2.0, 0, Hp - 2).astype(jnp.int32)
+
+    # pad output geometry to kernel granularity (edge mode: zero padding
+    # would poison the per-row band minima)
+    wo_pad = _cdiv(Wo, LANE) * LANE
+    ho_pad = _cdiv(Ho, TILE_ROWS) * TILE_ROWS
+    if (wo_pad, ho_pad) != (Wo, Ho):
+        padspec = ((0, 0), (0, ho_pad - Ho), (0, wo_pad - Wo))
+        xc = jnp.pad(xc, padspec, mode='edge')
+        yc = jnp.pad(yc, padspec, mode='edge')
+    n_chunks = wo_pad // LANE
+    n_t = ho_pad // TILE_ROWS
+
+    # per-row band bases and locals
+    base_r = jnp.min(yc, axis=2)                           # [B,Ho']
+    base_r = jnp.minimum(base_r, Hp - BH)
+    ylocal = yc - base_r[:, :, None]
+    viol = jnp.any(ylocal > BH - 2)
+    # per-tile DMA base
+    base_rt = base_r.reshape(B, n_t, TILE_ROWS)
+    base_t = jnp.minimum(jnp.min(base_rt, axis=2), Hp - TILE_BAND)
+    rowoff = base_rt - base_t[:, :, None]                  # [B,n_t,TILE_ROWS]
+    viol = viol | jnp.any(rowoff > TILE_BAND - BH)
+    # lane-chunk displacement band
+    cidx = (jnp.arange(wo_pad) // LANE)
+    wstart = jnp.minimum(jnp.maximum(0, (cidx - 1) * LANE), wpad - WIN)
+    xloc = xc - wstart[None, None, :]
+    viol = viol | jnp.any((xloc < 0) | (xloc >= WIN))
+    xloc = jnp.clip(xloc, 0, WIN - 1) + wstart[None, None, :]  # abs, safe
+    ylocal = jnp.clip(ylocal, 0, BH - 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),          # packed src
+            pl.BlockSpec((1, TILE_ROWS, wo_pad),
+                         lambda b, t, *_: (b, t, 0),
+                         memory_space=pltpu.VMEM),         # xloc (abs)
+            pl.BlockSpec((1, TILE_ROWS, wo_pad),
+                         lambda b, t, *_: (b, t, 0),
+                         memory_space=pltpu.VMEM),         # ylocal
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_ROWS, 8, wo_pad),
+                         lambda b, t, *_: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_ROWS, 8, wo_pad),
+                         lambda b, t, *_: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_BAND, 8, wpad), jnp.float32),
+            pltpu.VMEM((8 * BH, wpad), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    top, bot = pl.pallas_call(
+        functools.partial(_warp_kernel, n_chunks, wpad, dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, ho_pad, 8, wo_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, ho_pad, 8, wo_pad), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(base_t.reshape(-1), rowoff.reshape(-1), packed, xloc, ylocal)
+
+    top = top[:, :Ho, :, :Wo].transpose(0, 1, 3, 2)        # [B,Ho,Wo,8]
+    bot = bot[:, :Ho, :, :Wo].transpose(0, 1, 3, 2)
+    p00, p01 = top[..., :C], top[..., C:2 * C]
+    p10, p11 = bot[..., :C], bot[..., C:2 * C]
+    return p00, p01, p10, p11, wx, wy, viol
+
+
+def warp_pallas_supported(image, grid):
+    """Static eligibility for the Pallas warp path."""
+    B, H, W, C = image.shape
+    _, Ho, Wo, _ = grid.shape
+    # the band must fit the padded source height
+    return (C <= 3 and H + 4 >= TILE_BAND and Ho * Wo >= 16 * LANE
+            and jax.default_backend() == 'tpu')

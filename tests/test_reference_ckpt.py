@@ -1,0 +1,118 @@
+"""Checkpoint-level parity harness (round-3 VERDICT item 3).
+
+Round-trips a FULL ResNetSAN01 checkpoint through the reference's torch
+state_dict format (naming of /root/reference/packnet_sfm/networks/depth/
+ResNetSAN01.py + utils/load.py prefix handling): flax -> reference-format ->
+flax must be exact, and a checkpoint ingested through the reference format
+must produce the same eval forward as the original variables. This proves
+weights-in => numbers-out modulo the actual trained weights (which are not
+shipped in this image).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from packnet_sfm_tpu.export.torch_import import (
+    flax_to_reference_depth_net, load_reference_checkpoint,
+    reference_depth_net_to_flax, strip_reference_prefix)
+from packnet_sfm_tpu.networks.depth.resnet_san import ResNetSAN01
+
+pytestmark = pytest.mark.quick
+
+B, H, W = 1, 64, 96
+
+
+@pytest.fixture(scope='module')
+def model_and_vars():
+    model = ResNetSAN01(version='18A', use_film=True, film_scales=(0,))
+    rgb = jnp.zeros((B, H, W, 3), jnp.float32)
+    d = jnp.ones((B, H, W, 1), jnp.float32) * (
+        jnp.arange(H * W).reshape(1, H, W, 1) % 7 == 0)
+    variables = model.init(jax.random.PRNGKey(0), rgb, input_depth=d,
+                           train=True)
+    return model, variables
+
+
+def _tree_allclose(a, b, path=''):
+    assert set(a.keys()) == set(b.keys()), \
+        f'{path}: {set(a) ^ set(b)}'
+    for k in a:
+        if isinstance(a[k], dict):
+            _tree_allclose(a[k], b[k], path + '/' + str(k))
+        else:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=0,
+                err_msg=path + '/' + str(k))
+
+
+def test_roundtrip_flax_reference_flax_exact(model_and_vars):
+    model, variables = model_and_vars
+    sd = flax_to_reference_depth_net(variables)
+    # simulate a real checkpoint: model.-prefixed keys, torch tensors
+    import torch
+    full_sd = {'model.depth_net.' + k: torch.from_numpy(np.asarray(v).copy())
+               for k, v in sd.items()}
+
+    fresh = model.init(jax.random.PRNGKey(7),
+                       jnp.zeros((B, H, W, 3), jnp.float32),
+                       input_depth=jnp.ones((B, H, W, 1), jnp.float32),
+                       train=True)
+    merged = load_reference_checkpoint(fresh, full_sd)
+    _tree_allclose(jax.tree_util.tree_map(np.asarray, dict(variables['params'])),
+                   jax.tree_util.tree_map(np.asarray, dict(merged['params'])))
+    _tree_allclose(
+        jax.tree_util.tree_map(np.asarray, dict(variables['batch_stats'])),
+        jax.tree_util.tree_map(np.asarray, dict(merged['batch_stats'])))
+
+
+def test_imported_checkpoint_forward_parity(model_and_vars):
+    """Eval forward through the imported checkpoint == original variables
+    (both RGB-only and RGB+LiDAR paths)."""
+    model, variables = model_and_vars
+    sd = flax_to_reference_depth_net(variables)
+    fresh = model.init(jax.random.PRNGKey(3),
+                       jnp.zeros((B, H, W, 3), jnp.float32),
+                       input_depth=jnp.ones((B, H, W, 1), jnp.float32),
+                       train=True)
+    merged = load_reference_checkpoint(fresh, sd)
+
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    d = jnp.asarray((rng.rand(B, H, W, 1) < 0.06).astype(np.float32) * 12.0)
+
+    for kwargs in [{}, {'input_depth': d}]:
+        out_a = model.apply(variables, rgb, train=False, **kwargs)
+        out_b = model.apply(merged, rgb, train=False, **kwargs)
+        np.testing.assert_allclose(np.asarray(out_a['inv_depths'][0]),
+                                   np.asarray(out_b['inv_depths'][0]),
+                                   atol=0)
+
+
+def test_prefix_stripping_matches_reference_semantics():
+    sd = {'model.depth_net.weight': 1, 'model.pose_net.x': 2,
+          'depth_net.bias': 3, 'unrelated': 4}
+    rel = strip_reference_prefix(sd, 'depth_net')
+    assert rel == {'weight': 1, 'bias': 3}
+
+
+def test_reference_format_covers_all_parameters(model_and_vars):
+    """Every parameter of the flax model must appear in the exported
+    reference state_dict (no silently-dropped subtree) — except the
+    masked-conv zero biases, which MinkowskiEngine convs do not have."""
+    model, variables = model_and_vars
+    sd = flax_to_reference_depth_net(variables)
+    n_exported = sum(np.asarray(v).size for v in sd.values())
+    leaves = jax.tree_util.tree_leaves_with_path(variables['params'])
+    n_params = 0
+    for path, leaf in leaves:
+        keys = [getattr(p, 'key', '') for p in path]
+        if ('mconvs' in keys and keys[-1] == 'bias'
+                and str(keys[-2]).startswith('Conv_')):
+            continue  # ME convs are bias-free
+        n_params += np.asarray(leaf).size
+    stats_leaves = jax.tree_util.tree_leaves(variables['batch_stats'])
+    n_stats = sum(np.asarray(x).size for x in stats_leaves)
+    assert n_exported == n_params + n_stats, \
+        f'exported {n_exported} vs model {n_params}+{n_stats}'
