@@ -54,11 +54,32 @@ class DualHeadDepthLoss:
                  self.fractional_weight * fractional_loss +
                  self.consistency_weight * consistency_loss)
         total = jnp.where(jnp.sum(mask) > 0, total, 0.0)
+
+        # logging metrics the ST2 INT8 validation report keys on
+        # (reference: dual_head_depth_loss.py:178-195); all masked, in-graph
+        cnt = jnp.maximum(jnp.sum(mask), 1.0)
+        depth_err = jnp.abs(depth_pred - depth_gt)
+        mean_depth_error = jnp.sum(depth_err * mask) / cnt
+        # masked lower-median (torch .median() semantics): invalid -> +inf,
+        # global sort, take element (n_valid - 1) // 2
+        flat = jnp.sort(jnp.where(mask > 0, depth_err, jnp.inf).ravel())
+        med_idx = (jnp.sum(mask).astype(jnp.int32) - 1) // 2
+        median_depth_error = flat[jnp.maximum(med_idx, 0)]
+        integer_err_m = jnp.abs(integer_pred - integer_gt) * self.max_depth
+        integer_accuracy = jnp.sum(
+            (integer_err_m < 1.0).astype(mask.dtype) * mask) / cnt
+        fractional_rmse = jnp.sqrt(
+            jnp.sum(((fractional_pred - fractional_gt) ** 2) * mask) / cnt)
         return {
             'loss': total,
             'metrics': {
                 'integer_loss': integer_loss,
                 'fractional_loss': fractional_loss,
                 'consistency_loss': consistency_loss,
+                'total_loss': total,
+                'mean_depth_error': mean_depth_error,
+                'median_depth_error': median_depth_error,
+                'integer_accuracy': integer_accuracy,
+                'fractional_rmse': fractional_rmse,
             },
         }

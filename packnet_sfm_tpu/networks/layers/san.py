@@ -54,36 +54,25 @@ def sparsify_depth(depth):
     return depth * mask, mask
 
 
-def _pool_slices(xp, window, stride, out_h, out_w):
-    """The `window`^2 strided shifts of a padded [B,H,W,C] array."""
-    for di in range(window):
-        for dj in range(window):
-            yield xp[:, di:di + stride * (out_h - 1) + 1:stride,
-                     dj:dj + stride * (out_w - 1) + 1:stride, :]
-
-
 def masked_max_pool(x, mask, window=3, stride=2):
     """Max-pool active features; mask pools by OR (any active in window).
 
-    Implemented as an explicit maximum over the window's strided shifts:
-    forward-identical to lax.reduce_window, but autodiff produces dense
-    pad/select ops instead of select_and_scatter (slow on XLA:TPU).
+    lax.reduce_window on purpose: a measured A/B (round 3) found the
+    "9 strided-slice maximum" alternative 1.6x SLOWER end-to-end on v5e
+    (37.2 vs 23.0 ms on the isolated SAN stack) — XLA:TPU's reduce_window
+    + select_and_scatter pair beats strided slicing/padding chains here.
     Expects x == 0 at inactive sites; output keeps that invariant.
     """
-    pad = window // 2
-    B, H, W, C = x.shape
-    out_h = (H + 2 * pad - window) // stride + 1
-    out_w = (W + 2 * pad - window) // stride + 1
+    pad = ((0, 0), (window // 2,) * 2, (window // 2,) * 2, (0, 0))
     neg = jnp.where(mask > 0, x, -jnp.inf)
-    negp = jnp.pad(neg, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
-                   constant_values=-jnp.inf)
-    maskp = jnp.pad(mask, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    pooled = None
-    for s in _pool_slices(negp, window, stride, out_h, out_w):
-        pooled = s if pooled is None else jnp.maximum(pooled, s)
-    pooled_mask = None
-    for s in _pool_slices(maskp, window, stride, out_h, out_w):
-        pooled_mask = s if pooled_mask is None else jnp.maximum(pooled_mask, s)
+    pooled = jax.lax.reduce_window(
+        neg, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1), padding=pad)
+    pooled_mask = jax.lax.reduce_window(
+        mask, 0.0, jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1), padding=pad)
     return jnp.where(pooled_mask > 0, pooled, 0.0), pooled_mask
 
 

@@ -83,19 +83,23 @@ def _warp_kernel(n_chunks, wpad, dtype, base_t_ref, rowoff_ref,
         for s in range(BH):
             stack[s * 8:(s + 1) * 8, :] = band[
                 pl.ds(off + s, 1)].reshape(8, wpad).astype(dtype)
-        yl = ylocal_ref[0, i:i + 1, :]                # [1, Wo]
-        xl = xloc_ref[0, i:i + 1, :]                  # [1, Wo] absolute
         for c in range(n_chunks):
             lane0 = c * LANE
             wstart = min(max(0, (c - 1) * LANE), wpad - WIN)
-            xi = xl[:, lane0:lane0 + LANE] - wstart   # [1, LANE] in [0,WIN)
-            yi = yl[:, lane0:lane0 + LANE]
+            # per-chunk REF reads: value-slicing the full row gives offset
+            # layouts Mosaic refuses to broadcast across sublanes
+            xi = xloc_ref[0, i:i + 1, lane0:lane0 + LANE] - wstart  # [1,LANE]
+            yi = ylocal_ref[0, i:i + 1, lane0:lane0 + LANE]
             onehot = jnp.where(iota_win == jnp.broadcast_to(xi, (WIN, LANE)),
                                jnp.array(1, dtype), jnp.array(0, dtype))
             window = stack[:, wstart:wstart + WIN]    # [64, WIN]
+            # f32 needs HIGHEST (6-pass) for exact taps; bf16 mode uses the
+            # native single-pass MXU (values quantized to bf16 by design)
             g = jax.lax.dot_general(
                 window, onehot, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)   # [64, LANE]
+                preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.HIGHEST
+                           if dtype == jnp.float32 else None))  # [64, LANE]
             top = jnp.zeros((8, LANE), jnp.float32)
             bot = jnp.zeros((8, LANE), jnp.float32)
             for s in range(BH):

@@ -52,28 +52,37 @@ def test_list_broadcasting_rgb_vs_lidar(tmp_path):
     assert v.input_depth_type == ['velodyne', '']
 
 
-@pytest.mark.parametrize('name', [
-    'train_resnet_san_kitti.yaml',
-    'train_resnet_san_ncdb_640x384.yaml',
-    'train_resnet_san_ncdb_dual_head_640x384.yaml',
-    'train_packnet_san_kitti.yaml',
-    'overfit_kitti.yaml',
-])
-def test_reference_configs_parse(name):
-    """The reference's own YAML files must parse against our defaults."""
-    path = os.path.join(REFERENCE, name)
-    if not os.path.isfile(path):
+def test_reference_configs_parse():
+    """EVERY reference YAML must parse against our defaults."""
+    if not os.path.isdir(REFERENCE):
         pytest.skip('reference configs unavailable')
-    cfg = parse_train_config(path)
-    assert cfg.model.name
-    assert cfg.model.depth_net.name
+    names = [n for n in os.listdir(REFERENCE) if n.endswith('.yaml')]
+    assert len(names) >= 15
+    for name in names:
+        cfg = parse_train_config(os.path.join(REFERENCE, name))
+        assert cfg.model.name, name
+        assert cfg.model.depth_net.name, name
 
 
-def test_own_configs_parse():
+def test_every_reference_config_has_same_name_counterpart():
+    """Round-3 VERDICT item 5: each reference YAML ships with a same-name
+    runnable counterpart in our configs/."""
+    if not os.path.isdir(REFERENCE):
+        pytest.skip('reference configs unavailable')
+    ours = set(os.listdir(os.path.join(REPO, 'configs')))
+    missing = [n for n in os.listdir(REFERENCE)
+               if n.endswith('.yaml') and n not in ours]
+    assert missing == []
+
+
+def test_own_configs_parse_and_build_models():
+    from packnet_sfm_tpu.models import setup_model
     for name in os.listdir(os.path.join(REPO, 'configs')):
         if name.endswith('.yaml'):
             cfg = parse_train_config(os.path.join(REPO, 'configs', name))
             assert cfg.model.name, name
+            model = setup_model(cfg)
+            assert model is not None, name
 
 
 def test_cli_override():

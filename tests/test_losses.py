@@ -176,6 +176,25 @@ def test_dual_head_loss_manual():
     np.testing.assert_allclose(float(out['loss']), 10 * 0.2 + 0.5 * 0.2, atol=1e-4)
 
 
+def test_dual_head_loss_log_metrics():
+    """The ST2-report metrics (reference dual_head_depth_loss.py:178-195):
+    mean/median depth error, integer accuracy (<1 m), fractional RMSE."""
+    integer = jnp.full((1, 4, 4, 1), 5.0 / 15.0)
+    fractional = jnp.full((1, 4, 4, 1), 0.5)
+    outputs = {('integer', 0): integer, ('fractional', 0): fractional}
+    gt = np.full((1, 4, 4, 1), 5.7, np.float32)
+    gt[0, 0, 0, 0] = 0.0  # invalid pixel must not bias the masked stats
+    out = DualHeadDepthLoss(max_depth=15.0, min_depth=0.5)(
+        outputs, jnp.asarray(gt))
+    m = out['metrics']
+    np.testing.assert_allclose(float(m['mean_depth_error']), 0.2, atol=1e-5)
+    np.testing.assert_allclose(float(m['median_depth_error']), 0.2, atol=1e-5)
+    np.testing.assert_allclose(float(m['integer_accuracy']), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(m['fractional_rmse']), 0.2, atol=1e-5)
+    np.testing.assert_allclose(float(m['total_loss']), float(out['loss']),
+                               atol=0)
+
+
 def test_velocity_loss():
     vec = np.zeros((B, 6), np.float32)
     vec[:, 0] = 2.0

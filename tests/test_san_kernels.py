@@ -8,6 +8,8 @@
   /root/reference/packnet_sfm/networks/layers/minkowski_encoder.py:12-87)
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,17 +23,25 @@ pytestmark = pytest.mark.quick
 
 
 def _reduce_window_pool(x, mask, window=3, stride=2):
-    """The round-2 reduce_window implementation (forward oracle)."""
-    pad = ((0, 0), (window // 2,) * 2, (window // 2,) * 2, (0, 0))
-    neg = jnp.where(mask > 0, x, -jnp.inf)
-    pooled = jax.lax.reduce_window(
-        neg, -jnp.inf, jax.lax.max,
-        window_dimensions=(1, window, window, 1),
-        window_strides=(1, stride, stride, 1), padding=pad)
-    pooled_mask = jax.lax.reduce_window(
-        mask, 0.0, jax.lax.max,
-        window_dimensions=(1, window, window, 1),
-        window_strides=(1, stride, stride, 1), padding=pad)
+    """Independent strided-shift formulation (oracle only: it measured 1.6x
+    slower than reduce_window on v5e, so production uses reduce_window)."""
+    pad = window // 2
+    B, H, W, C = x.shape
+    out_h = (H + 2 * pad - window) // stride + 1
+    out_w = (W + 2 * pad - window) // stride + 1
+
+    def slices(xp):
+        for di in range(window):
+            for dj in range(window):
+                yield xp[:, di:di + stride * (out_h - 1) + 1:stride,
+                         dj:dj + stride * (out_w - 1) + 1:stride, :]
+
+    negp = jnp.pad(jnp.where(mask > 0, x, -jnp.inf),
+                   ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                   constant_values=-jnp.inf)
+    maskp = jnp.pad(mask, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    pooled = functools.reduce(jnp.maximum, slices(negp))
+    pooled_mask = functools.reduce(jnp.maximum, slices(maskp))
     return jnp.where(pooled_mask > 0, pooled, 0.0), pooled_mask
 
 
