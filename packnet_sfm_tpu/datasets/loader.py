@@ -85,8 +85,16 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
-        # per-process shard (reference: DistributedSampler rank/world_size)
-        return idx[self.shard_index::self.num_shards]
+        # per-process shard (reference: DistributedSampler rank/world_size).
+        # Every shard is truncated to the common floor length: in multi-host
+        # SPMD each process must run the SAME number of steps or the
+        # collectives deadlock (DistributedSampler pads instead; truncation
+        # keeps batches real at the cost of <num_shards leftover samples,
+        # which the per-epoch reshuffle rotates).
+        shard = idx[self.shard_index::self.num_shards]
+        if self.num_shards > 1:
+            shard = shard[:len(idx) // self.num_shards]
+        return shard
 
     def __len__(self):
         n = len(self._indices())

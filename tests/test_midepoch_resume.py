@@ -16,20 +16,34 @@ from packnet_sfm_tpu.trainers.trainer import Trainer
 from packnet_sfm_tpu.utils.checkpoint import load_checkpoint
 
 
-def test_midepoch_save_and_exact_resume(tmp_path):
+def test_midepoch_save_and_exact_resume(tmp_path, monkeypatch):
     cfg = parse_train_config('configs/overfit_synthetic.yaml')
     cfg.arch.max_epochs = 1
     cfg.datasets.validation.dataset = []  # keep the test train-only
     cfg.checkpoint.filepath = str(tmp_path / 'ckpts' / 'model_{epoch:02d}')
     cfg.checkpoint.save_every_n_steps = 3  # 4 batches/epoch -> saved at b=3
 
+    # the trainer deletes the stale mid_epoch.ckpt once its epoch completes
+    # (round-2 ADVICE); capture the payload at deletion time to verify what
+    # an interrupted run would have resumed from
+    captured = {}
+    real_remove = os.remove
+
+    def capturing_remove(path):
+        if str(path).endswith('mid_epoch.ckpt'):
+            captured['payload'] = load_checkpoint(path)
+        real_remove(path)
+
+    monkeypatch.setattr(os, 'remove', capturing_remove)
+
     trainer = Trainer(cfg)
     trainer.fit()
     assert int(trainer.state.step) == 4  # 8 samples, bs2, drop_last
 
     mid = str(tmp_path / 'ckpts' / 'mid_epoch.ckpt')
-    assert os.path.exists(mid)
-    payload = load_checkpoint(mid)
+    assert not os.path.exists(mid), \
+        'stale mid_epoch.ckpt must be removed at epoch end'
+    payload = captured['payload']
     assert payload['loader'] == {'epoch': 0, 'batches_consumed': 3}
     assert payload['step'] == 3
 
