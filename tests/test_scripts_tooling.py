@@ -166,3 +166,82 @@ def test_visualize_masked_prediction(tree):
     assert 'masked region: 75' in stdout
     img = np.asarray(Image.open(tree / 'masked.png'))
     assert img.shape == (48, 64 * 3, 3)  # rgb | raw | masked
+
+
+@pytest.fixture
+def ncdb_roots(tmp_path):
+    """Two mini NCDB capture roots + two indoor loop folders."""
+    rng = np.random.RandomState(7)
+    roots = []
+    for name in ('capture_a', 'capture_b',
+                 'loop_01_640x384_newest', 'loop_02_640x384_newest'):
+        root = tmp_path / name
+        (root / 'image_a6').mkdir(parents=True)
+        (root / 'newest_depth_maps').mkdir()
+        for i in range(5):
+            stem = '{}_{:03d}'.format(name, i)
+            Image.fromarray((rng.rand(24, 32, 3) * 255).astype(
+                np.uint8)).save(root / 'image_a6' / (stem + '.png'))
+            depth = ((rng.rand(24, 32) * 10 + 1) * 256).astype(np.uint16)
+            Image.fromarray(depth).save(
+                root / 'newest_depth_maps' / (stem + '.png'))
+        roots.append(root)
+    return tmp_path, roots
+
+
+def test_create_combined_splits(ncdb_roots):
+    tmp, roots = ncdb_roots
+    out = tmp / 'splits'
+    run('data_processing/create_combined_splits.py',
+        '--datasets', str(roots[0]), str(roots[1]),
+        '--output', str(out), '--ratio', '0.6', '0.2', '0.2', '--seed', '3')
+    splits = {n: json.load(open(out / n)) for n in
+              ('combined_train.json', 'combined_val.json',
+               'combined_test.json')}
+    assert len(splits['combined_train.json']) == 6  # int(10 * 0.6)
+    all_entries = [tuple(sorted(e.items())) for s in splits.values()
+                   for e in s]
+    assert len(all_entries) == 10 and len(set(all_entries)) == 10
+    entry = splits['combined_train.json'][0]
+    assert set(entry) == {'dataset_root', 'new_filename'}
+    # entries load through the NcdbDataset split parser
+    from packnet_sfm_tpu.datasets.ncdb import NcdbDataset
+    ds = NcdbDataset(path=str(tmp), split=str(out / 'combined_train.json'),
+                     depth_type='depth', strict_depth=True)
+    s = ds[0]
+    assert s['rgb'].shape == (24, 32, 3) and s['depth'].shape == (24, 32, 1)
+
+
+def test_create_combined_indoor_splits(ncdb_roots):
+    tmp, roots = ncdb_roots
+    out = tmp / 'indoor_splits'
+    run('data_processing/create_combined_indoor_splits.py',
+        '--root', str(tmp), '--output', str(out))
+    train = json.load(open(out / 'combined_train.json'))
+    # only the two loop_* folders participate
+    assert all('loop_' in e['dataset_root'] for e in train)
+    total = sum(len(json.load(open(out / n))) for n in
+                ('combined_train.json', 'combined_val.json',
+                 'combined_test.json'))
+    assert total == 10
+
+
+def test_create_ncdb_metadata(ncdb_roots):
+    tmp, roots = ncdb_roots
+    out = tmp / 'splits'
+    run('data_processing/create_combined_splits.py',
+        '--datasets', str(roots[0]), '--output', str(out))
+    stdout = run('data_processing/create_ncdb_metadata.py',
+                 '--dataset_root', str(tmp),
+                 '--split_file', str(out / 'combined_train.json'),
+                 '--output', str(tmp / 'meta.csv'))
+    assert 'samples:' in stdout
+    import csv as _csv
+    with open(tmp / 'meta.csv') as f:
+        rows = list(_csv.DictReader(f))
+    assert rows and rows[0]['depth_variant'] == 'newest_depth_maps'
+    r = rows[0]
+    assert 1.0 <= float(r['mean_depth']) <= 11.5
+    assert int(r['width']) == 32 and int(r['height']) == 24
+    assert r['scene_type'] in ('indoor', 'outdoor_near', 'outdoor_far')
+    assert float(r['p90']) >= float(r['p50'])
