@@ -1,0 +1,121 @@
+"""Dedicated dual-head deployment flow (VERDICT round-2 item 8 / missing 5):
+convert -> validate -> save-outputs, each driven through its CLI on a real
+(tiny, synthetically trained) dual-head checkpoint (reference:
+scripts/onnx_conversion/convert_dual_head_to_onnx.py,
+validate_dual_head_onnx.py, save_dual_head_outputs.py)."""
+
+import glob
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(script, *cli):
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'scripts', script)] + list(cli),
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return proc.stdout
+
+
+@pytest.fixture(scope='module')
+def dual_head_ckpt(tmp_path_factory):
+    """One-epoch synthetic training of the dual-head flagship, checkpointed."""
+    tmp = tmp_path_factory.mktemp('dh_run')
+    from packnet_sfm_tpu.config import parse_train_config
+    from packnet_sfm_tpu.config.config import prepare_config
+    from packnet_sfm_tpu.trainers.trainer import Trainer
+
+    cfg = parse_train_config('configs/overfit_synthetic.yaml')
+    cfg.arch.max_epochs = 1
+    cfg.model.depth_net.use_dual_head = True
+    cfg.model.depth_net.use_film = True
+    # dual-head is supervised-only (no inv_depths for the photometric branch)
+    cfg.model.loss.supervised_loss_weight = 1.0
+    cfg.checkpoint.filepath = str(tmp / 'ckpts')
+    cfg.checkpoint.monitor = 'loss'
+    cfg.prepared = False
+    cfg = prepare_config(cfg)
+    Trainer(cfg).fit()
+    ckpts = [os.path.join(root, f)
+             for root, _, files in os.walk(str(tmp))
+             for f in files if f.endswith('.ckpt')]
+    assert ckpts, 'no checkpoint written'
+    return ckpts[0]
+
+
+def test_convert_composed(dual_head_ckpt, tmp_path):
+    out = str(tmp_path / 'dh_composed.onnx')
+    stdout = run('onnx_conversion/convert_dual_head_to_onnx.py',
+                 '--checkpoint', dual_head_ckpt, '--output', out,
+                 '--input_shape', '64', '96')
+    assert 'composed depth range' in stdout
+    # without the onnx package the export falls back to TorchScript
+    written = glob.glob(str(tmp_path / 'dh_composed*'))
+    assert written, 'no artifact written'
+    assert 'exported' in stdout
+
+
+def test_convert_separate_and_validate(dual_head_ckpt, tmp_path):
+    out = str(tmp_path / 'dh_separate.onnx')
+    stdout = run('onnx_conversion/convert_dual_head_to_onnx.py',
+                 '--checkpoint', dual_head_ckpt, '--output', out,
+                 '--input_shape', '64', '96', '--separate_outputs')
+    assert 'integer range' in stdout
+    artifacts = glob.glob(str(tmp_path / 'dh_separate*'))
+    assert artifacts
+    # validate the exported two-sigmoid graph against the jax forward
+    stdout = run('onnx_conversion/validate_dual_head_onnx.py',
+                 '--checkpoint', dual_head_ckpt,
+                 '--artifact', artifacts[0],
+                 '--input_shape', '64', '96', '--num_samples', '2',
+                 '--tolerance', '1e-3')
+    assert 'PASS' in stdout
+
+
+def test_validate_in_process_mirror(dual_head_ckpt):
+    stdout = run('onnx_conversion/validate_dual_head_onnx.py',
+                 '--checkpoint', dual_head_ckpt,
+                 '--input_shape', '64', '96', '--num_samples', '2',
+                 '--tolerance', '1e-3')
+    assert 'PASS' in stdout
+    assert 'max errors' in stdout
+
+
+def test_save_outputs_npz(dual_head_ckpt, tmp_path):
+    out = str(tmp_path / 'outs')
+    stdout = run('onnx_conversion/save_dual_head_outputs.py',
+                 '--checkpoint', dual_head_ckpt, '--output_dir', out,
+                 '--split', 'val', '--num_samples', '2')
+    assert 'saved 2 samples' in stdout
+    files = sorted(glob.glob(os.path.join(out, '*.npz')))
+    assert len(files) == 2
+    z = np.load(files[0])
+    assert set(z.files) >= {'integer', 'fractional', 'depth', 'max_depth'}
+    assert z['integer'].min() >= 0.0 and z['integer'].max() <= 1.0
+    np.testing.assert_allclose(
+        z['depth'], z['integer'] * z['max_depth'] + z['fractional'],
+        rtol=1e-6, atol=1e-6)
+
+
+def test_save_outputs_separate_dirs_int8(dual_head_ckpt, tmp_path):
+    out = str(tmp_path / 'outs_int8')
+    run('onnx_conversion/save_dual_head_outputs.py',
+        '--checkpoint', dual_head_ckpt, '--output_dir', out,
+        '--split', 'val', '--num_samples', '1', '--save_format', 'npy',
+        '--save_separate_dirs', '--precision', 'int8',
+        '--model_name', 'm0')
+    for sub in ('integer_int8', 'fractional_int8', 'depth_int8'):
+        files = glob.glob(os.path.join(out, 'm0', sub, '*.npy'))
+        assert len(files) == 1, sub
+    integer = np.load(glob.glob(
+        os.path.join(out, 'm0', 'integer_int8', '*.npy'))[0])
+    # int8 fake-quant: values land on the u8 grid
+    np.testing.assert_allclose(integer * 255.0,
+                               np.round(integer * 255.0), atol=1e-4)
