@@ -171,6 +171,13 @@ def _gs_patches(image, grid, padding_mode):
         y = jnp.clip(y, 0.0, H - 1)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
+    # MISCOMPILE GUARD (round 3): XLA:TPU fuses floor into both the index
+    # computation and the fraction below and gets wx wrong at ~40% of
+    # pixels (== 0.5 exactly; deterministic at B8 192x640 — repro:
+    # scripts/repro_xla_gather_miscompile.py). Barriering (x0, y0) keeps
+    # one floor result feeding both consumers; measured fix with zero
+    # wrong pixels and no step-time cost.
+    x0, y0 = jax.lax.optimization_barrier((x0, y0))
     wx = x - x0
     wy = y - y0
 
@@ -189,8 +196,14 @@ def _gs_patches(image, grid, padding_mode):
     yc = jnp.clip(y0 + 2.0, 0, Hp - 2).astype(jnp.int32)
     xc = jnp.clip(x0 + 2.0, 0, Wp - 2).astype(jnp.int32)
     idx = (yc * Wp + xc).reshape(B, -1, 1)
-    taps = jnp.take_along_axis(
-        packed.reshape(B, Hp * Wp, 4 * C), idx, axis=1
+    flat = packed.reshape(B, Hp * Wp, 4 * C)
+    # MISCOMPILE GUARD 2 (round 3): XLA:TPU's lowering of this gather reads
+    # garbage in the LAST channel of the LAST output row when the operand
+    # ends exactly at the gather's reach (p11 wrong at ~109 last-row pixels
+    # at B8 192x640; repro script). One dummy trailing row on the flattened
+    # operand moves the buffer end out of reach; measured exact after.
+    flat = jnp.pad(flat, ((0, 0), (0, 1), (0, 0)))
+    taps = jnp.take_along_axis(flat, idx, axis=1
     ).reshape(B, grid.shape[1], grid.shape[2], 4, C)
     return (taps[..., 0, :], taps[..., 1, :], taps[..., 2, :],
             taps[..., 3, :], wx, wy)
@@ -204,13 +217,16 @@ def _gs_combine(p00, p01, p10, p11, wx, wy):
     return top + (bot - top) * wy
 
 
-# Warp backend switch: 'auto' uses the Pallas matmul-gather kernel
-# (ops/pallas/warp.py) on TPU for eligible shapes with an in-graph
-# lax.cond fallback to the XLA packed-tap path when the flow leaves the
-# kernel's displacement band. 'xla' forces the packed-tap path.
-# _WARP_DTYPE runs the kernel's one-hot contraction in bf16 when the
-# photometric loss is configured for bf16 maps (set by losses/photometric).
-WARP_IMPL = 'auto'
+# Warp backend switch: 'xla' (default) is the packed-tap gather with the
+# two TPU miscompile guards (see _gs_patches); 'auto' routes eligible
+# shapes through the Pallas matmul-gather kernel (ops/pallas/warp.py) with
+# an in-graph lax.cond fallback when the flow leaves its displacement
+# band. Measured round 3 (B8 192x640 selfsup step): the kernel wins the
+# isolated fwd-tap A/B 3x (3.27 vs 9.70 ms) but LOSES end-to-end (145.8 vs
+# ~129 ms/step) — the cond boundary materializes all six fp32 tap tensors
+# and blocks the fusion of taps into the photometric chain — so it stays
+# opt-in. _WARP_DTYPE runs the kernel's one-hot contraction in bf16.
+WARP_IMPL = 'xla'
 _WARP_DTYPE = jnp.float32
 
 

@@ -10,9 +10,21 @@ Pallas matmul-gather kernel (ops/pallas/warp.py) computing the identical
 taps is exact on TPU (verified against numpy ground truth — see
 BENCH_NOTES.md round-3 section).
 
-Consequence: on TPU the Pallas warp kernel is not just ~3x faster but the
-CORRECT path; the dispatcher (ops/image._gs_patches_dispatch) uses it for
-all eligible shapes.
+Two distinct defects, each with a measured in-graph guard (both applied
+in ops/image._gs_patches, so this script now prints 'no miscompile'
+against the fixed implementation; the raw pattern lives in git history):
+1. wx == 0.5 corruption at ~40% of pixels: XLA fuses jnp.floor into both
+   the gather-index computation and the fraction x - floor(x) and the two
+   copies disagree. Guard: jax.lax.optimization_barrier((x0, y0)) pins one
+   floor result for both consumers. Measured: 0 wrong pixels.
+2. p11 garbage in the LAST channel of the LAST output row (~109 pixels):
+   the gather reads past the operand when the buffer ends exactly at its
+   reach. Guard: one dummy trailing row on the flattened operand.
+   Measured: 0 wrong pixels.
+
+With both guards the XLA packed-tap path is exact on TPU again; the Pallas
+matmul-gather kernel (ops/pallas/warp.py) remains as an independently
+verified alternative backend (WARP_IMPL switch).
 
 Run on a TPU host:  python scripts/repro_xla_gather_miscompile.py
 """
