@@ -18,24 +18,28 @@ def ssim(x, y, C1=1e-4, C2=9e-4, clamp_variance=False):
     catastrophically in bf16 (8 mantissa bits on values ~1 -> sigma error
     ~1e-2 >> C2), driving the estimate negative once warped and target
     converge — which flips the SSIM denominator's sign and NaNs the
-    backward pass (observed in training). Fix: center the inputs at 0.45
-    (the image-mean scale) before pooling — sigma is shift-invariant, and
-    E[(x-c)^2] lives at variance scale (~1e-2) where bf16's relative error
-    is harmless — plus a max(sigma, 0) projection for any residue. fp32
-    stays on the uncentered form for strict reference parity.
+    backward pass (observed in training).
+
+    Fix (round 3): fp32 accumulation islands. The bf16 speedup comes from
+    HBM traffic on the full-res pixel tensors, not from the VPU (fp32-
+    native); so keep the INPUTS bf16 and run every moment product and
+    pool in fp32 — the casts fuse into the pooling kernels, so the
+    memory-bound traffic stays half-width while the cancellation-prone
+    arithmetic is exact. This replaces the round-2 centered-statistics
+    workaround (shift to 0.45 scale before pooling), which stabilized
+    bf16 but still paid bf16 pooling rounding (40-step overfit 0.122 vs
+    fp32's 0.090 — BENCH_NOTES). Keep the sigma>=0 projection as a
+    backstop against input-quantization residue.
     """
     if clamp_variance:
-        # shift-invariant variances from centered values (bf16-safe)
-        c = jnp.asarray(0.45, x.dtype)
-        xp = reflect_pad_2d(x - c, 1)
-        yp = reflect_pad_2d(y - c, 1)
-        mu_xc = avg_pool_3x3(xp)
-        mu_yc = avg_pool_3x3(yp)
-        sigma_x = jnp.maximum(avg_pool_3x3(xp * xp) - mu_xc * mu_xc, 0.0)
-        sigma_y = jnp.maximum(avg_pool_3x3(yp * yp) - mu_yc * mu_yc, 0.0)
-        sigma_xy = avg_pool_3x3(xp * yp) - mu_xc * mu_yc
-        mu_x = mu_xc + c
-        mu_y = mu_yc + c
+        # fp32 moment islands over (possibly bf16) pixel inputs
+        xp = reflect_pad_2d(x, 1).astype(jnp.float32)
+        yp = reflect_pad_2d(y, 1).astype(jnp.float32)
+        mu_x = avg_pool_3x3(xp)
+        mu_y = avg_pool_3x3(yp)
+        sigma_x = jnp.maximum(avg_pool_3x3(xp * xp) - mu_x * mu_x, 0.0)
+        sigma_y = jnp.maximum(avg_pool_3x3(yp * yp) - mu_y * mu_y, 0.0)
+        sigma_xy = avg_pool_3x3(xp * yp) - mu_x * mu_y
     else:
         xp = reflect_pad_2d(x, 1)
         yp = reflect_pad_2d(y, 1)
