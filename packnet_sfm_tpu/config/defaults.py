@@ -34,6 +34,11 @@ def get_cfg_defaults():
     cfg.model.loss.padding_mode = 'zeros'
     cfg.model.loss.automask_loss = True
     cfg.model.loss.progressive_scaling = 0.0
+    # TPU-native addition: full-resolution generic (ray-surface) softmax
+    # projection — the reference pins it to half-res for memory
+    # (reference: geometry/camera_generic.py:159-208); the Pallas
+    # projection kernel lifts that constraint.
+    cfg.model.loss.generic_full_res = False
     cfg.model.loss.velocity_loss_weight = 0.1
     cfg.model.loss.supervised_method = 'sparse-l1'
     cfg.model.loss.supervised_num_scales = 4

@@ -33,6 +33,14 @@ class GenericMultiViewPhotometricLoss(MultiViewPhotometricLoss):
     num_scales: int = 1
     patch_side: int = 20
     inputs_are_sigmoids: bool = False  # generic family works on inv-depths
+    # TPU-native addition: project at FULL resolution. The reference pins
+    # the softmax ray projection to half-res because its dense [HW, K, 3]
+    # patch tensor is 620 MB/image at half-res already
+    # (reference: geometry/camera_generic.py:159-208); the Pallas
+    # generic-projection kernel (ops/pallas/generic_projection.py) keeps
+    # the ray plane in VMEM, making full-res training practical
+    # (31 ms fwd+bwd at 192x640 — BENCH_NOTES).
+    full_res_projection: bool = False
 
     def __call__(self, image, context, inv_depths, poses, ray_surface=None,
                  K=None, ray_template=None, mask=None, progress=0.0,
@@ -70,7 +78,9 @@ class GenericMultiViewPhotometricLoss(MultiViewPhotometricLoss):
                 DH, DW = scale_shapes[i]
                 ref_i = interpolate(ref_image, (DH, DW), 'bilinear', True)
                 world = cam.reconstruct(depths[i], frame='w')
-                coords = ref_cam.project(world, progress=progress, frame='w')
+                coords = ref_cam.project(
+                    world, progress=progress, frame='w',
+                    downsample=not self.full_res_projection)
                 warped.append(grid_sample(ref_i, coords,
                                           padding_mode=self.padding_mode))
             photo = self._photometric(warped, images, [None] * n)

@@ -162,7 +162,8 @@ def setup_model(config, prepared=True):
             photometric_reduce_op=loss_cfg.photometric_reduce_op,
             clip_loss=loss_cfg.clip_loss,
             padding_mode=loss_cfg.padding_mode,
-            automask_loss=loss_cfg.automask_loss)
+            automask_loss=loss_cfg.automask_loss,
+            full_res_projection=loss_cfg.get('generic_full_res', False))
         return GenericSelfSupModel(generic_photometric_loss=generic, **common)
     if name == 'GenericSfmModel':
         return GenericSfmModel(**common)

@@ -180,3 +180,45 @@ def test_generic_selfsup_model_trains():
     gsum = sum(float(jnp.abs(g).sum())
                for g in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_generic_selfsup_full_res_projection():
+    """TPU-native full-res projection config (loss.generic_full_res):
+    factory wiring + a full train-style fwd/bwd at full resolution."""
+    cfg = get_cfg_defaults()
+    cfg.model.name = 'GenericSelfSupModel'
+    cfg.model.depth_net.name = 'RaySurfaceResNet'
+    cfg.model.depth_net.version = '18pt'
+    cfg.model.pose_net.name = 'PoseNet'
+    cfg.model.loss.generic_full_res = True
+    import dataclasses
+    model = setup_model(cfg)
+    assert model.generic_photometric_loss.full_res_projection
+    small_loss = dataclasses.replace(model.generic_photometric_loss,
+                                     patch_side=3)
+    model = model.clone(generic_photometric_loss=small_loss)
+    rng = np.random.RandomState(1)
+    h, w = 32, 64
+    batch = {
+        'rgb': jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32)),
+        'rgb_context': [jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+                        for _ in range(2)],
+        'intrinsics': jnp.asarray(np.tile(np.array(
+            [[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]],
+            np.float32)[None], (1, 1, 1))),
+    }
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                           train=True)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {'params': params,
+             'batch_stats': variables.get('batch_stats', {})},
+            batch, train=True, progress=0.5, mutable=['batch_stats'])
+        return out['loss']
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables['params'])
+    assert np.isfinite(float(loss))
+    gsum = sum(float(jnp.abs(g).sum())
+               for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gsum) and gsum > 0
