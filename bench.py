@@ -118,8 +118,18 @@ def _rand_batch(rng, B, H, W, lidar=True, contexts=0):
             np.float32)[None], (B, 1, 1)),
     }
     if lidar:
-        batch['input_depth'] = ((rng.rand(B, H, W, 1) * 70 + 1) *
-                                (rng.rand(B, H, W, 1) < 0.05)
+        # KITTI-like 64-beam structure, not iid scatter: beams land on
+        # distinct image rows below the horizon (~top 40% of the image is
+        # sky/above-lidar and EMPTY), with partial azimuth returns. Overall
+        # fill ~5-6%, but spatially clustered the way projected LiDAR
+        # actually is — which is what any sparsity-exploiting SAN kernel
+        # sees in production.
+        mask = np.zeros((B, H, W, 1), np.float32)
+        horizon = int(H * 0.4)
+        beam_rows = np.linspace(horizon, H - 1, 64).astype(int)
+        row_fill = rng.rand(B, len(beam_rows), W, 1) < 0.20
+        mask[:, beam_rows] = row_fill.astype(np.float32)
+        batch['input_depth'] = ((rng.rand(B, H, W, 1) * 70 + 1) * mask
                                 ).astype(np.float32)
     if contexts:
         batch['rgb_original'] = batch['rgb'].copy()

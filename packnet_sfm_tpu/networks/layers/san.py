@@ -47,6 +47,58 @@ from flax import linen as nn
 
 XAVIER = nn.initializers.glorot_uniform()
 
+# Masked-conv backend switch ('auto' | 'xla'), overridable for A/B benches.
+# 'auto' routes eligible convs (TPU, k in {3,5}, Cin >= 16) through the
+# block-sparse Pallas kernel (ops/pallas/san_conv.py) that skips row-tiles
+# with no active LiDAR sites — projected LiDAR is empty above the horizon
+# at every scale, work XLA cannot skip. Ineligible convs (the 1-channel
+# stack entries, CPU) use the dense masked formulation; both share the
+# same 'Conv_i/{kernel,bias}' parameters.
+# Default 'xla': the round-3 kernel measured 339.7 vs 125.1 ms/step on the
+# selfsup workload (parity-exact but slow — per-tap small matmuls underfeed
+# the MXU); flip to 'auto' only when the microbench
+# (scripts/bench_san_conv.py) shows a win at the SAN shapes.
+SAN_CONV_IMPL = 'xla'
+
+
+def _pallas_conv_eligible(x, kernel_size):
+    return (SAN_CONV_IMPL == 'auto'
+            and jax.default_backend() == 'tpu'
+            and kernel_size in (3, 5)
+            and x.shape[-1] >= 16
+            and x.shape[2] % 8 == 0)
+
+
+class _MaskedConv(nn.Module):
+    """One masked conv: out = (conv(x) + b) * mask.
+
+    Same parameter names/shapes as flax nn.Conv ('kernel' HWIO, 'bias') so
+    checkpoints are layout-identical across backends; instantiated with
+    name='Conv_i' to keep the historical parameter paths.
+    """
+    features: int
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, flags=None):
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kern = self.param('kernel', XAVIER, (k, k, cin, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        if _pallas_conv_eligible(x, k):
+            from packnet_sfm_tpu.ops.pallas.san_conv import (
+                masked_conv2d, tile_activity)
+            if flags is None:
+                flags = tile_activity(mask, k)
+            return masked_conv2d(x, mask.astype(x.dtype),
+                                 kern.astype(x.dtype),
+                                 bias.astype(x.dtype), flags)
+        y = jax.lax.conv_general_dilated(
+            x, kern.astype(x.dtype), (1, 1), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return (y + bias.astype(y.dtype)) * mask
+
 
 def sparsify_depth(depth):
     """[B,H,W,1] depth -> (features, mask) with mask = depth > 0."""
@@ -130,9 +182,10 @@ class _MaskedConvSeq(nn.Module):
     def __call__(self, x, mask, train=True):
         n = len(self.widths)
         for i, w in enumerate(self.widths):
-            x = nn.Conv(w, (self.kernel_size, self.kernel_size),
-                        padding=self.kernel_size // 2, kernel_init=XAVIER,
-                        dtype=self.dtype)(x) * mask
+            # per-conv tile_activity calls are identical expressions over
+            # the same mask -> XLA CSEs them to one reduction
+            x = _MaskedConv(w, self.kernel_size, self.dtype,
+                            name=f'Conv_{i}')(x.astype(self.dtype), mask)
             if i < n - 1:
                 x = nn.relu(MaskedBatchNorm()(x, mask, train))
         return x

@@ -1,0 +1,84 @@
+"""A/B + breakdown of the selfsup_kitti train step on the real chip.
+
+Times the full train step under each warp backend (WARP_IMPL 'auto' =
+Pallas matmul-gather with in-graph fallback, 'xla' = packed-tap gather),
+and optionally ablations (no-automask, no-supervised) to localize cost.
+
+Usage: python scripts/bench_selfsup_breakdown.py [auto|xla] ...
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def run(impl, ablate=None):
+    import jax
+    from packnet_sfm_tpu.ops import image as image_ops
+    image_ops.WARP_IMPL = impl
+    from packnet_sfm_tpu.networks.layers import san
+    if ablate == 'sanxla':
+        san.SAN_CONV_IMPL = 'xla'
+        ablate = None
+    else:
+        san.SAN_CONV_IMPL = 'auto'
+
+    import bench
+    cfg = bench._base_cfg()
+    cfg.model.depth_net.use_film = True
+    cfg.model.pose_net.name = 'PoseNet'
+    cfg.model.loss.supervised_method = 'sparse-ssi-silog'
+    cfg.model.loss.supervised_loss_weight = 0.9
+    cfg.model.loss.automask_loss = True
+    cfg.model.loss.photometric_reduce_op = 'min'
+    cfg.tpu.photometric_dtype = 'bfloat16'
+    if ablate == 'no_automask':
+        cfg.model.loss.automask_loss = False
+    if ablate == 'no_sup':
+        cfg.model.loss.supervised_loss_weight = 0.0
+
+    rng = np.random.RandomState(0)
+    B, H, W = 8, 192, 640
+    batch = bench._rand_batch(rng, B, H, W, lidar=True, contexts=2)
+
+    from packnet_sfm_tpu.models import setup_model
+    from packnet_sfm_tpu.parallel.mesh import (
+        make_mesh, shard_batch, replicate_state)
+    from packnet_sfm_tpu.parallel.train_step import (
+        make_optimizer, make_train_step, init_state)
+
+    model = setup_model(cfg)
+    mesh = make_mesh()
+    dev_batch = shard_batch(batch, mesh)
+    optimizer = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
+                               steps_per_epoch=100, clip_grad=0.0)
+    state = init_state(model, optimizer, dev_batch, jax.random.PRNGKey(0))
+    state = replicate_state(state, mesh)
+    step = make_train_step(model, optimizer, mesh=mesh, donate=True)
+
+    sec, times = bench._bench_step(step, state, dev_batch,
+                                   jax.random.PRNGKey(1), windows=4, iters=10)
+    tag = impl + (':' + ablate if ablate else '')
+    print('{:24s} {:7.1f} ms/step  {:6.1f} img/s  windows: {}'.format(
+        tag, sec * 1e3, B / sec,
+        ' '.join('{:.1f}'.format(t * 1e3) for t in times)))
+    return sec
+
+
+if __name__ == '__main__':
+    import jax
+    import os
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), '.jax_tpu_cache')
+    jax.config.update('jax_compilation_cache_dir', cache)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    modes = sys.argv[1:] or ['xla', 'auto']
+    for m in modes:
+        if ':' in m:
+            impl, ab = m.split(':', 1)
+            run(impl, ab)
+        else:
+            run(m)
