@@ -17,6 +17,7 @@ weights; irrelevant for from-scratch training, documented for ckpt interop.
 """
 
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -137,6 +138,32 @@ class _Conv3DStack(nn.Module):
             v = nn.Conv(self.d, (3, 3, 3), padding=1, kernel_init=XAVIER,
                         dtype=self.dtype)(v)           # [B,C,H,W,d]
             return v.transpose(0, 2, 3, 1, 4).reshape(B, H, W, C * self.d)
+        if self.impl == 'depthwise':
+            # Same math as three depthwise convs (feature_group_count=C,
+            # channel multiplier d): y[..., c*d+j] =
+            # sum_dz conv2d(x[..., c+dz], K[:, :, dz, j]) with the SAME
+            # [3,3,d] kernel broadcast across channels. No [B,H,W,C,3]
+            # window materialization and no B*C batch relayout — the
+            # HBM-traffic diagnosis of depthwin2d's 205 ms/step. Kernel
+            # layout [kh,kw,dz,j] matches the 'win2d' nn.Conv kernel, so
+            # checkpoints remap by renaming win2d/{kernel,bias} ->
+            # win2d_{kernel,bias}.
+            kern = self.param('win2d_kernel', XAVIER, (3, 3, 3, self.d))
+            bias = self.param('win2d_bias', nn.initializers.zeros,
+                              (self.d,))
+            kern = kern.astype(self.dtype)
+            xp = jnp.pad(x.astype(self.dtype),
+                         ((0, 0), (0, 0), (0, 0), (1, 1)))
+            y = None
+            for dz in range(3):
+                # [3,3,d] tiled C times, c-major: rhs[..., c*d+j]=K[...,j]
+                rhs = jnp.tile(kern[:, :, dz, :], (1, 1, C))[:, :, None, :]
+                t = jax.lax.conv_general_dilated(
+                    xp[..., dz:dz + C], rhs, (1, 1), 'SAME',
+                    feature_group_count=C,
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                y = t if y is None else y + t
+            return y + jnp.tile(bias, C).astype(y.dtype)
         # depth-window unfold: xw[..., c, k] = x_padded[..., c + k]
         xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1)))
         xw = jnp.stack([xp[..., 0:C], xp[..., 1:C + 1], xp[..., 2:C + 2]],
