@@ -105,6 +105,9 @@ def _base_cfg():
     cfg.model.params.min_depth = 0.5
     cfg.model.params.max_depth = 80.0
     cfg.tpu.compute_dtype = 'bfloat16'
+    # KITTI-projected LiDAR is empty above the horizon (~top 40% of rows);
+    # crop the SAN branch to the active band (exact — tests/test_networks.py)
+    cfg.model.depth_net.san_row_window = 0.67
     return cfg
 
 

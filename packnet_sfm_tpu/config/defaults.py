@@ -84,6 +84,10 @@ def get_cfg_defaults():
     cfg.model.depth_net.use_film = False
     cfg.model.depth_net.film_scales = [0]
     cfg.model.depth_net.use_enhanced_lidar = False
+    # > 0: crop the SAN LiDAR branch to an active-row window of this
+    # fraction of the image height (TPU optimization for row-structured
+    # LiDAR; exact when the band fits — see layers/san.py). 0 = off.
+    cfg.model.depth_net.san_row_window = 0.0
     cfg.model.depth_net.use_dual_head = False
     cfg.model.depth_net.use_encoder_rezero = False
     cfg.model.depth_net.variant = 's'

@@ -21,7 +21,9 @@ from flax import linen as nn
 
 from packnet_sfm_tpu.networks.layers.packnet import (
     Conv2D, ResidualBlock, InvDepth, PackLayerConv3d, UnpackLayerConv3d)
-from packnet_sfm_tpu.networks.layers.san import MinkowskiEncoder, sparsify_depth
+from packnet_sfm_tpu.networks.layers.san import (
+    MinkowskiEncoder, sparsify_depth, active_row_window, crop_rows,
+    paste_rows)
 from packnet_sfm_tpu.ops.image import upsample2x_nearest
 
 
@@ -169,6 +171,8 @@ class _PackNetSANBase(nn.Module):
     ni: int = 32
     channels: Sequence[int] = (32, 64, 128, 256, 512)
     num_3d_feat: int = 4
+    # active-row crop of the SAN branch (see layers/san.py); 0 = off
+    san_row_window: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -185,10 +189,21 @@ class _PackNetSANBase(nn.Module):
         x5p, skips = self.core.encode(rgb, train)
         if input_depth is not None:
             d, mask = sparsify_depth(input_depth)
+            H = d.shape[1]
+            Hw = (int(H * self.san_row_window) // 32 * 32
+                  if self.san_row_window > 0 else 0)
+            crop = 0 < Hw < H and H % 32 == 0
+            if crop:
+                s, dropped = active_row_window(mask, Hw)
+                self.sow('intermediates', 'san_dropped', dropped)
+                d = crop_rows(d, s, Hw)
+                mask = crop_rows(mask, s, Hw)
             fused = [skips[0]]
             for i, feat in enumerate(skips[1:] + [x5p]):
                 d, mask = self.mconvs(i, d, mask, train)[:2]
-                fused.append(feat * self.weight[i] + d + self.bias[i])
+                sp = (paste_rows(d, s // (2 ** (i + 1)), feat.shape[1])
+                      if crop else d)
+                fused.append(feat * self.weight[i] + sp + self.bias[i])
             skips, x5p = fused[:5], fused[5]
         inv_depths = self.core.decode(x5p, skips, train)
         return inv_depths, skips[1:] + [x5p]

@@ -26,7 +26,9 @@ from flax import linen as nn
 
 from packnet_sfm_tpu.networks.layers.resnet import (
     ResnetEncoder, DepthDecoder, DualHeadDepthDecoder, resnet_num_ch_enc)
-from packnet_sfm_tpu.networks.layers.san import MinkowskiEncoder, sparsify_depth
+from packnet_sfm_tpu.networks.layers.san import (
+    MinkowskiEncoder, sparsify_depth, active_row_window, crop_rows,
+    paste_rows)
 
 
 def parse_version(version, default_layers=18):
@@ -47,6 +49,13 @@ class ResNetSAN01(nn.Module):
     use_dual_head: bool = False
     min_depth: float = 0.5
     max_depth: float = 80.0
+    # Row-structured-LiDAR optimization: > 0 crops every SAN stage to an
+    # active-row window of this fraction of the level height (8-aligned),
+    # skipping the all-empty above-horizon rows dense convs can't skip.
+    # EXACT when the active band (+2-row pool margin) fits the window;
+    # otherwise out-of-window points are dropped and counted in the
+    # 'san_dropped' output. 0.0 = off (reference-parity default).
+    san_row_window: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -77,20 +86,41 @@ class ResNetSAN01(nn.Module):
         skip_features = self.encoder(rgb, train=train)
         if input_depth is not None and self.use_film:
             d, mask = sparsify_depth(input_depth)
+            # Row-structured-LiDAR crop: run the whole SAN stack on a
+            # fixed-size active-row window (traced start, static height),
+            # pasting each stage's output back for the skip fusion. See
+            # layers/san.py active_row_window for the exactness argument.
+            H = d.shape[1]
+            Hw = (int(H * self.san_row_window) // 32 * 32
+                  if self.san_row_window > 0 else 0)
+            crop = 0 < Hw < H and H % 32 == 0
+            if crop:
+                s, dropped = active_row_window(mask, Hw)
+                # visible when applied with mutable=['intermediates']
+                self.sow('intermediates', 'san_dropped', dropped)
+                d = crop_rows(d, s, Hw)
+                mask = crop_rows(mask, s, Hw)
             fused = []
             for i, feat in enumerate(skip_features):
-                result = self.mconvs(i, d, mask, train)
+                lvl_h = feat.shape[1]
+                denom = (float(lvl_h * feat.shape[2])
+                         if crop else None)
+                result = self.mconvs(i, d, mask, train, pool_denom=denom)
                 if len(result) == 4:
                     sparse_feat, mask, gamma, beta = result
-                    d = sparse_feat
+                else:
+                    gamma = beta = None
+                    sparse_feat, mask = result
+                d = sparse_feat
+                if crop:
+                    sparse_feat = paste_rows(sparse_feat, s // (2 ** (i + 1)),
+                                             lvl_h)
+                w = jax.nn.sigmoid(self.weight[i])
+                if gamma is not None:
                     modulated = gamma * feat + beta
-                    w = jax.nn.sigmoid(self.weight[i])
                     fused_feat = (w * modulated + (1 - w) * sparse_feat
                                   + self.bias[i])
                 else:
-                    sparse_feat, mask = result
-                    d = sparse_feat
-                    w = jax.nn.sigmoid(self.weight[i])
                     fused_feat = (w * feat + (1 - w) * sparse_feat
                                   + self.bias[i])
                 fused.append(fused_feat)

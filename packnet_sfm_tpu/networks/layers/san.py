@@ -106,6 +106,61 @@ def sparsify_depth(depth):
     return depth * mask, mask
 
 
+def active_row_window(mask, Hw, align=32, bottom_margin=63):
+    """Choose an `align`-aligned row start s so [s, s+Hw) covers the
+    active band of `mask` [B,H,W,1].
+
+    Projected LiDAR is row-structured: everything above the horizon is
+    empty at every pyramid level (KITTI: ~40% of rows), which is work a
+    dense conv cannot skip. The caller crops (d, mask) ONCE to this window
+    and runs the whole SAN stage stack on the cropped tensors (see
+    ResNetSAN01.run_network), pasting each stage's output back at row
+    s/2^(i+1) — hence align=32 so every level's pooling grid stays aligned
+    with the full computation's.
+
+    Exactness: values outside the active set are zero in both the cropped
+    and the full computation, so the crop is EXACT when (a) s <= first
+    active row (pooled rows above the window top can then never be active,
+    by induction over the stride-2 OR-pools) and (b) the window bottom is
+    either the image edge (the full computation clamps identically) or
+    >= last active row + 63 (each of the 5 stride-2 pools can push the
+    band's pooled bottom one level-local row — 2^k absolute rows — below).
+    When the band + margins exceed Hw the bottom is prioritized (near
+    LiDAR returns are the dense, information-rich ones) and any active
+    sites left outside are dropped from the branch and counted.
+
+    Returns (s: int32 scalar, dropped: f32 scalar count of active sites
+    outside the window).
+    """
+    H = mask.shape[1]
+    rows = jnp.sum(mask, axis=(0, 2, 3))                 # [H]
+    idx = jnp.arange(H)
+    act = rows > 0
+    r0 = jnp.min(jnp.where(act, idx, H))
+    r1 = jnp.max(jnp.where(act, idx, -1))
+    s = jnp.clip((r0 // align) * align, 0, H - Hw)
+    # shift down (ceil to alignment) if the bottom margin would be cut
+    need_bottom = jnp.minimum(r1 + bottom_margin, H)
+    s = jnp.where(s + Hw < need_bottom,
+                  jnp.clip(-(-(need_bottom - Hw) // align) * align,
+                           0, H - Hw), s)
+    in_win = (idx >= s) & (idx < s + Hw)
+    dropped = jnp.sum(jnp.where(in_win, 0.0, rows))
+    return s, dropped
+
+
+def crop_rows(x, s, Hw):
+    """dynamic row crop [B,H,W,C] -> [B,Hw,W,C] starting at traced s."""
+    return jax.lax.dynamic_slice_in_dim(x, s, Hw, axis=1)
+
+
+def paste_rows(x, s, H):
+    """Paste [B,Hw,W,C] into a zero canvas of height H at traced row s."""
+    B, Hw, W, C = x.shape
+    canvas = jnp.zeros((B, H, W, C), x.dtype)
+    return jax.lax.dynamic_update_slice_in_dim(canvas, x, s, axis=1)
+
+
 def masked_max_pool(x, mask, window=3, stride=2):
     """Max-pool active features; mask pools by OR (any active in window).
 
@@ -239,11 +294,19 @@ class MinkowskiEncoder(nn.Module):
                                             name=f'film_{i}')
         self.films = films
 
-    def __call__(self, scale, feats, mask, train=True):
+    def __call__(self, scale, feats, mask, train=True, pool_denom=None):
+        """pool_denom: when the caller row-crops the stage (see
+        active_row_window), pass the FULL-map element count H*W of this
+        level so the FiLM AdaptiveAvgPool mean matches the uncropped
+        computation (rows outside the window are zero and contribute only
+        to the denominator)."""
         dense, mask = self.mconvs[scale](feats, mask, train)
         # MinkConv2D output is already densified (zeros at inactive sites)
         if str(scale) in self.films:
-            pooled = dense.mean(axis=(1, 2), keepdims=True)  # AdaptiveAvgPool2d(1)
+            if pool_denom is None:
+                pooled = dense.mean(axis=(1, 2), keepdims=True)  # AdaptiveAvgPool2d(1)
+            else:
+                pooled = dense.sum(axis=(1, 2), keepdims=True) / pool_denom
             params = self.films[str(scale)](pooled)
             gamma, beta = jnp.split(params, 2, axis=-1)
             return dense, mask, gamma, beta

@@ -217,32 +217,70 @@ def _gs_combine(p00, p01, p10, p11, wx, wy):
     return top + (bot - top) * wy
 
 
-# Warp backend switch: 'xla' (default) is the packed-tap gather with the
-# two TPU miscompile guards (see _gs_patches); 'auto' routes eligible
-# shapes through the Pallas matmul-gather kernel (ops/pallas/warp.py) with
-# an in-graph lax.cond fallback when the flow leaves its displacement
-# band. Measured round 3 (B8 192x640 selfsup step): the kernel wins the
-# isolated fwd-tap A/B 3x (3.27 vs 9.70 ms) but LOSES end-to-end (145.8 vs
-# ~129 ms/step) — the cond boundary materializes all six fp32 tap tensors
-# and blocks the fusion of taps into the photometric chain — so it stays
-# opt-in. _WARP_DTYPE runs the kernel's one-hot contraction in bf16.
+# Warp backend switch: 'auto' (default on TPU) routes eligible shapes
+# through the Pallas matmul-gather kernel (ops/pallas/warp.py); 'xla' is
+# the packed-tap gather with the two TPU miscompile guards (_gs_patches).
+#
+# Round-3 history: the first 'auto' integration returned the six TAP
+# tensors across the violation lax.cond and LOST end-to-end (145.8 vs
+# ~125 ms/step selfsup) despite a 3x isolated win — the cond boundary
+# materialized ~500 MB/step of fp32 taps and blocked XLA from fusing taps
+# into the photometric chain. The current structure computes the COMBINED
+# warped image inside each cond branch (only [B,Ho,Wo,C] crosses), saves
+# (image, grid) as the only residuals, and re-runs the kernel in the
+# backward to rebuild the taps for the analytic coordinate gradient.
+# Even so, 'auto' measured 39.9 vs 63.6 img/s on the selfsup bench
+# (round 3) — under investigation; 'xla' stays the default.
 WARP_IMPL = 'xla'
 _WARP_DTYPE = jnp.float32
 
 
-def _gs_patches_dispatch(image, grid, padding_mode):
-    if WARP_IMPL != 'xla':
-        from packnet_sfm_tpu.ops.pallas.warp import (
-            warp_taps_pallas, warp_pallas_supported)
-        if warp_pallas_supported(image, grid):
-            p00, p01, p10, p11, wx, wy, viol = warp_taps_pallas(
-                image, grid, padding_mode, dtype=_WARP_DTYPE)
-            taps = jax.lax.cond(
-                viol,
-                lambda: _gs_patches(image, grid, padding_mode)[:4],
-                lambda: (p00, p01, p10, p11))
-            return taps + (wx, wy)
-    return _gs_patches(image, grid, padding_mode)
+def _pallas_warp_eligible(image, grid):
+    if WARP_IMPL == 'xla':
+        return False
+    from packnet_sfm_tpu.ops.pallas.warp import warp_pallas_supported
+    return warp_pallas_supported(image, grid)
+
+
+def _warp_taps_cond(image, grid, padding_mode):
+    """Taps via the Pallas kernel with in-cond XLA fallback.
+
+    Returns (p00, p01, p10, p11, wx, wy). Only the four tap tensors cross
+    the cond boundary — callers that immediately combine should prefer
+    _warp_value_cond."""
+    from packnet_sfm_tpu.ops.pallas.warp import (
+        warp_plan, warp_taps_from_plan)
+    plan, viol = warp_plan(image.shape, grid, padding_mode)
+    if WARP_IMPL == 'force':  # timing-only: skip the violation fallback
+        taps = warp_taps_from_plan(image, plan, padding_mode,
+                                   dtype=_WARP_DTYPE)
+        return taps + (plan['wx'], plan['wy'])
+    taps = jax.lax.cond(
+        viol,
+        lambda: _gs_patches(image, grid, padding_mode)[:4],
+        lambda: warp_taps_from_plan(image, plan, padding_mode,
+                                    dtype=_WARP_DTYPE))
+    return taps + (plan['wx'], plan['wy'])
+
+
+def _warp_value_cond(image, grid, padding_mode):
+    """Combined warped image via the Pallas kernel with in-cond XLA
+    fallback; only [B,Ho,Wo,C] crosses the cond boundary."""
+    from packnet_sfm_tpu.ops.pallas.warp import (
+        warp_plan, warp_taps_from_plan)
+    plan, viol = warp_plan(image.shape, grid, padding_mode)
+
+    def xla_branch():
+        return _gs_combine(*_gs_patches(image, grid, padding_mode))
+
+    def pallas_branch():
+        taps = warp_taps_from_plan(image, plan, padding_mode,
+                                   dtype=_WARP_DTYPE)
+        return _gs_combine(*taps, plan['wx'], plan['wy'])
+
+    if WARP_IMPL == 'force':  # timing-only: skip the violation fallback
+        return pallas_branch()
+    return jax.lax.cond(viol, xla_branch, pallas_branch)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -255,29 +293,37 @@ def grid_sample(image, grid, padding_mode='zeros'):
     ('zeros') or clamp to the border ('border').
 
     TPU note: gathers are the slowest primitive in the whole photometric
-    path (XLA lowers per-pixel gathers at ~100 M elem/s on v5e, and the
-    naive autodiff re-gathers for the coordinate gradient and SCATTERS for
-    the image gradient). This wrapper gathers the 4 taps ONCE, saves them
-    as residuals, and computes the coordinate cotangent as pure elementwise
-    math — zero gathers, zero scatters in the backward. The image cotangent
-    (rare: warped sources are data, not activations, in every loss here)
-    falls back to autodiff of the plain-XLA formulation and is dead-code
-    eliminated when unused.
+    path (the XLA packed-tap gather runs index-bound at ~7 ns/index in-step
+    — 7.1 ms per full-res warp at B8 192x640 — and the naive autodiff
+    re-gathers for the coordinate gradient and SCATTERS for the image
+    gradient). Eligible TPU shapes route to the Pallas matmul-gather kernel
+    (ops/pallas/warp.py) and save only (image, grid) as residuals: the
+    backward re-runs the kernel to rebuild the taps, then computes the
+    coordinate cotangent as pure elementwise math. The XLA path gathers the
+    4 taps ONCE, saves them as residuals — zero gathers, zero scatters in
+    its backward. The image cotangent (rare: warped sources are data, not
+    activations, in every loss here) falls back to autodiff of the
+    plain-XLA formulation and is dead-code eliminated when unused.
     """
-    p00, p01, p10, p11, wx, wy = _gs_patches_dispatch(image, grid,
-                                                      padding_mode)
-    return _gs_combine(p00, p01, p10, p11, wx, wy)
+    return _gs_fwd(image, grid, padding_mode)[0]
 
 
 def _gs_fwd(image, grid, padding_mode):
-    p00, p01, p10, p11, wx, wy = _gs_patches_dispatch(image, grid,
-                                                      padding_mode)
+    if _pallas_warp_eligible(image, grid):
+        out = _warp_value_cond(image, grid, padding_mode)
+        return out, (image, grid, None)
+    p00, p01, p10, p11, wx, wy = _gs_patches(image, grid, padding_mode)
     out = _gs_combine(p00, p01, p10, p11, wx, wy)
-    return out, (image, grid, p00, p01, p10, p11, wx, wy)
+    return out, (image, grid, (p00, p01, p10, p11, wx, wy))
 
 
 def _gs_bwd(padding_mode, res, g):
-    image, grid, p00, p01, p10, p11, wx, wy = res
+    image, grid, taps = res
+    if taps is None:
+        p00, p01, p10, p11, wx, wy = _warp_taps_cond(image, grid,
+                                                     padding_mode)
+    else:
+        p00, p01, p10, p11, wx, wy = taps
     B, H, W, C = image.shape
     wxe = wx[..., None]
     wye = wy[..., None]

@@ -54,6 +54,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Test hook: force interpret-mode kernels (CPU parity tests of the
+# grid_sample dispatch path set this; see tests/test_pallas_warp.py).
+INTERPRET = False
+
 TILE_ROWS = 8     # output rows per grid program
 BH = 8            # per-output-row source band (y-span + bilinear + 1)
 TILE_BAND = 24    # DMA'd band per tile (covers inter-row tilt)
@@ -128,16 +132,18 @@ def _pack_source(image, padding_mode):
     return packed, Hp, wpad
 
 
-def warp_taps_pallas(image, grid, padding_mode='zeros', dtype=jnp.float32,
-                     interpret=False):
-    """Pallas replacement for the gather in ops.image._gs_patches.
+def warp_plan(image_shape, grid, padding_mode='zeros'):
+    """XLA-side index preparation for the warp kernel.
 
-    Returns (p00, p01, p10, p11, wx, wy, violation) — identical tap
-    semantics to the XLA packed-tap path; `violation` is a scalar bool that
-    is True when the flow leaves the kernel's displacement band (caller
-    must then use the XLA path).
+    Computes the per-tile DMA bases, per-pixel band-local indices, bilinear
+    fractions, and the scalar `violation` flag — all cheap vector math the
+    caller can run OUTSIDE a lax.cond, so the kernel itself (and the XLA
+    fallback) can live INSIDE the cond branches and only the combined
+    warped image crosses the branch boundary.
+
+    Returns (plan: dict of arrays/ints, viol: scalar bool).
     """
-    B, H, W, C = image.shape
+    B, H, W, C = image_shape
     _, Ho, Wo, _ = grid.shape
     gx, gy = grid[..., 0], grid[..., 1]
     x = (gx + 1.0) * 0.5 * (W - 1)
@@ -150,8 +156,8 @@ def warp_taps_pallas(image, grid, padding_mode='zeros', dtype=jnp.float32,
     wx = (x - x0).astype(jnp.float32)
     wy = (y - y0).astype(jnp.float32)
 
-    packed, Hp, wpad = _pack_source(image, padding_mode)
-    Wp = W + 4
+    Wp, Hp = W + 4, H + 4
+    wpad = max(_cdiv(Wp, LANE) * LANE, WIN)
     xc = jnp.clip(x0 + 2.0, 0, Wp - 2).astype(jnp.int32)   # [B,Ho,Wo]
     yc = jnp.clip(y0 + 2.0, 0, Hp - 2).astype(jnp.int32)
 
@@ -183,6 +189,25 @@ def warp_taps_pallas(image, grid, padding_mode='zeros', dtype=jnp.float32,
     viol = viol | jnp.any((xloc < 0) | (xloc >= WIN))
     xloc = jnp.clip(xloc, 0, WIN - 1) + wstart[None, None, :]  # abs, safe
     ylocal = jnp.clip(ylocal, 0, BH - 2)
+
+    plan = dict(base_t=base_t, rowoff=rowoff, xloc=xloc, ylocal=ylocal,
+                wx=wx, wy=wy, n_chunks=n_chunks, n_t=n_t,
+                wo_pad=wo_pad, ho_pad=ho_pad, wpad=wpad)
+    return plan, viol
+
+
+def warp_taps_from_plan(image, plan, padding_mode='zeros',
+                        dtype=jnp.float32, interpret=False):
+    """Run the warp kernel given a prepared plan. Returns (p00,p01,p10,p11)."""
+    interpret = interpret or INTERPRET
+    B, H, W, C = image.shape
+    packed, Hp, wpad = _pack_source(image, padding_mode)
+    assert wpad == plan['wpad']
+    n_chunks, n_t = plan['n_chunks'], plan['n_t']
+    wo_pad, ho_pad = plan['wo_pad'], plan['ho_pad']
+    Ho, Wo = plan['wx'].shape[1], plan['wx'].shape[2]
+    base_t, rowoff = plan['base_t'], plan['rowoff']
+    xloc, ylocal = plan['xloc'], plan['ylocal']
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -224,7 +249,22 @@ def warp_taps_pallas(image, grid, padding_mode='zeros', dtype=jnp.float32,
     bot = bot[:, :Ho, :, :Wo].transpose(0, 1, 3, 2)
     p00, p01 = top[..., :C], top[..., C:2 * C]
     p10, p11 = bot[..., :C], bot[..., C:2 * C]
-    return p00, p01, p10, p11, wx, wy, viol
+    return p00, p01, p10, p11
+
+
+def warp_taps_pallas(image, grid, padding_mode='zeros', dtype=jnp.float32,
+                     interpret=False):
+    """Pallas replacement for the gather in ops.image._gs_patches.
+
+    Returns (p00, p01, p10, p11, wx, wy, violation) — identical tap
+    semantics to the XLA packed-tap path; `violation` is a scalar bool that
+    is True when the flow leaves the kernel's displacement band (caller
+    must then use the XLA path).
+    """
+    plan, viol = warp_plan(image.shape, grid, padding_mode)
+    p00, p01, p10, p11 = warp_taps_from_plan(image, plan, padding_mode,
+                                             dtype, interpret)
+    return p00, p01, p10, p11, plan['wx'], plan['wy'], viol
 
 
 def warp_pallas_supported(image, grid):
@@ -233,4 +273,4 @@ def warp_pallas_supported(image, grid):
     _, Ho, Wo, _ = grid.shape
     # the band must fit the padded source height
     return (C <= 3 and H + 4 >= TILE_BAND and Ho * Wo >= 16 * LANE
-            and jax.default_backend() == 'tpu')
+            and (jax.default_backend() == 'tpu' or INTERPRET))

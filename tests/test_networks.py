@@ -55,6 +55,72 @@ def test_resnet_san_with_lidar(rgb, sparse_depth):
     assert np.isfinite(float(out['depth_loss']))
 
 
+def test_resnet_san_row_window_exact_parity(rgb):
+    """san_row_window crop must be bit-exact vs the full computation when
+    the LiDAR band (+ margins) fits the window (row-structured mask in the
+    bottom band, KITTI-like)."""
+    rng = np.random.RandomState(2)
+    d = rng.rand(B, H, W, 1).astype(np.float32) * 10
+    mask = np.zeros((B, H, W, 1), np.float32)
+    rows = np.arange(40, H)          # band [40, 63] touches the bottom
+    fill = rng.rand(B, len(rows), W, 1) < 0.2
+    mask[:, rows] = fill
+    sd = jnp.asarray(d * mask)
+
+    full = ResNetSAN01(version='18A', use_film=True, film_scales=(0,))
+    crop = ResNetSAN01(version='18A', use_film=True, film_scales=(0,),
+                       san_row_window=0.5)
+    variables = full.init({'params': jax.random.PRNGKey(0)}, rgb, sd,
+                          train=True)
+    out_f, _ = full.apply(variables, rgb, sd, train=True,
+                          mutable=['batch_stats'])
+    out_c, aux = crop.apply(variables, rgb, sd, train=True,
+                            mutable=['batch_stats', 'intermediates'])
+    dropped = jax.tree_util.tree_leaves(
+        aux['intermediates'])[0]
+    assert float(dropped) == 0.0
+    for a, b in zip(out_f['inv_depths_rgbd'], out_c['inv_depths_rgbd']):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+    np.testing.assert_allclose(float(out_f['depth_loss']),
+                               float(out_c['depth_loss']), atol=1e-6)
+
+
+def test_resnet_san_row_window_counts_dropped(rgb, sparse_depth):
+    """A full-height iid mask cannot fit a half-height window — the crop
+    must count the dropped active sites (and still run)."""
+    crop = ResNetSAN01(version='18A', use_film=True, film_scales=(0,),
+                       san_row_window=0.5)
+    variables = crop.init({'params': jax.random.PRNGKey(0)}, rgb,
+                          sparse_depth, train=True)
+    out, aux = crop.apply(variables, rgb, sparse_depth, train=True,
+                          mutable=['batch_stats', 'intermediates'])
+    dropped = jax.tree_util.tree_leaves(aux['intermediates'])[0]
+    assert float(dropped) > 0
+    assert np.isfinite(float(out['depth_loss']))
+
+
+def test_packnet_san_row_window_exact_parity(rgb):
+    rng = np.random.RandomState(3)
+    d = rng.rand(B, H, W, 1).astype(np.float32) * 10
+    mask = np.zeros((B, H, W, 1), np.float32)
+    rows = np.arange(40, H)
+    mask[:, rows] = (rng.rand(B, len(rows), W, 1) < 0.2)
+    sd = jnp.asarray(d * mask)
+
+    full = PackNetSAN01(version='1A')
+    crop = PackNetSAN01(version='1A', san_row_window=0.5)
+    variables = full.init({'params': jax.random.PRNGKey(0)}, rgb, sd,
+                          train=True)
+    out_f, _ = full.apply(variables, rgb, sd, train=True,
+                          mutable=['batch_stats'])
+    out_c, _ = crop.apply(variables, rgb, sd, train=True,
+                          mutable=['batch_stats'])
+    for a, b in zip(out_f['inv_depths_rgbd'], out_c['inv_depths_rgbd']):
+        # reduction-order noise only (BN stats sum over a cropped tensor)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_resnet_san_dual_head(rgb):
     net = ResNetSAN01(version='18A', use_dual_head=True, max_depth=15.0)
     out = _init_and_run(net, rgb)

@@ -81,6 +81,49 @@ def test_warp_taps_vertical_span_flags_violation():
     assert bool(got[6])
 
 
+@pytest.mark.parametrize('big_flow', [False, True])
+def test_grid_sample_dispatch_value_and_grad_parity(big_flow, monkeypatch):
+    """The fused-combine dispatch (kernel inside the violation cond, only
+    the warped image across the boundary; backward rebuilds taps by
+    re-running the kernel) must match the pure-XLA path in value AND
+    coordinate gradient — both when the kernel runs (smooth flow) and when
+    the violation cond falls back (big_flow)."""
+    import packnet_sfm_tpu.ops.pallas.warp as warp_mod
+    import packnet_sfm_tpu.ops.image as image_mod
+    monkeypatch.setattr(warp_mod, 'INTERPRET', True)
+    monkeypatch.setattr(image_mod, 'WARP_IMPL', 'auto')
+
+    B, H, W = 1, 32, 640
+    rng = np.random.RandomState(4)
+    img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    if big_flow:
+        ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                              jnp.arange(W, dtype=jnp.float32), indexing='ij')
+        x = xs + 200.0 * jnp.sin(xs / 11.0)
+        gx = 2.0 * x / (W - 1) - 1.0
+        gy = 2.0 * ys / (H - 1) - 1.0
+        grid = jnp.stack([gx, gy], axis=-1)[None]
+    else:
+        grid = _flow_grid(B, H, W, rng, dx_amp=20.0, dy_amp=2.0)
+
+    def loss_fn(gs):
+        def f(g):
+            out = gs(img, g, 'zeros')
+            return (out ** 2).mean()
+        return f
+
+    want = loss_fn(lambda i, g, p: image_mod._gs_combine(
+        *image_mod._gs_patches(i, g, p)))
+    got = loss_fn(image_mod.grid_sample)
+    assert image_mod._pallas_warp_eligible(img, grid)
+    np.testing.assert_allclose(np.asarray(got(grid)),
+                               np.asarray(want(grid)), atol=1e-6)
+    g_got = jax.grad(got)(grid)
+    g_want = jax.grad(want)(grid)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               atol=1e-5)
+
+
 def test_grid_sample_dispatch_cpu_uses_xla():
     """On CPU the dispatcher must silently use the XLA path."""
     from packnet_sfm_tpu.ops.image import grid_sample
