@@ -119,3 +119,28 @@ def test_save_outputs_separate_dirs_int8(dual_head_ckpt, tmp_path):
     # int8 fake-quant: values land on the u8 grid
     np.testing.assert_allclose(integer * 255.0,
                                np.round(integer * 255.0), atol=1e-4)
+
+
+def test_generate_predictions_dual_head(dual_head_ckpt, tmp_path):
+    """generate_predictions.py dumps per-head npy + composed depth npz from
+    a dual-head checkpoint over a directory of images."""
+    imgs = tmp_path / 'imgs'
+    imgs.mkdir()
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray((rng.rand(64, 96, 3) * 255).astype(np.uint8)).save(
+            str(imgs / 'frame_{:03d}.png'.format(i)))
+    out = str(tmp_path / 'preds')
+    stdout = run('evaluation/generate_predictions.py',
+                 '--checkpoint', dual_head_ckpt, '--images', str(imgs),
+                 '--output', out, '--save', 'npz', 'png')
+    assert 'wrote 2 predictions' in stdout
+    npz = sorted(glob.glob(os.path.join(out, '*.npz')))
+    assert len(npz) == 2
+    depth = np.load(npz[0])['depth']
+    integer = np.load(os.path.join(out, 'frame_000_integer.npy'))
+    frac = np.load(os.path.join(out, 'frame_000_fractional.npy'))
+    max_d = 15.0  # overfit_synthetic params.max_depth
+    np.testing.assert_allclose(
+        depth, (integer * max_d + frac)[..., 0], rtol=1e-5, atol=1e-5)

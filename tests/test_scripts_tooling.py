@@ -245,3 +245,26 @@ def test_create_ncdb_metadata(ncdb_roots):
     assert int(r['width']) == 32 and int(r['height']) == 24
     assert r['scene_type'] in ('indoor', 'outdoor_near', 'outdoor_far')
     assert float(r['p90']) >= float(r['p50'])
+
+
+def test_calibration_split(tmp_path):
+    """calib subcommand: depth-stratified sampling from a metadata CSV."""
+    import csv as _csv
+    meta = tmp_path / 'meta.csv'
+    rng = np.random.RandomState(0)
+    with open(meta, 'w', newline='') as f:
+        w = _csv.DictWriter(f, fieldnames=['new_filename', 'dataset_root',
+                                           'mean_depth'])
+        w.writeheader()
+        for i in range(200):
+            w.writerow({'new_filename': 'f{:04d}'.format(i),
+                        'dataset_root': 'sceneA',
+                        'mean_depth': float(rng.rand() * 30)})
+    out = tmp_path / 'calib.json'
+    stdout = run('data_processing/create_splits.py', 'calib',
+                        '--metadata', str(meta), '--out', str(out),
+                        '--target_size', '40')
+    assert 'calibration samples' in stdout
+    entries = json.loads(out.read_text())
+    assert 0 < len(entries) <= 40
+    assert all('new_filename' in e and 'dataset_root' in e for e in entries)
