@@ -26,7 +26,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from packnet_sfm_tpu.geometry.camera import Camera, FisheyeCamera, scale_intrinsics
-from packnet_sfm_tpu.geometry.camera_utils import view_synthesis
+from packnet_sfm_tpu.geometry.camera_utils import (
+    view_synthesis, view_synthesis_multi)
 from packnet_sfm_tpu.ops.image import match_scales, interpolate
 from packnet_sfm_tpu.ops.ssim import ssim_loss
 from packnet_sfm_tpu.ops.depth import (
@@ -184,17 +185,38 @@ class MultiViewPhotometricLoss:
         else:
             masks_scaled = [None] * n
 
+        # bf16 photometric: warp bf16-cast refs — the loss quantizes pixel
+        # values to bf16 anyway, and a bf16 source halves the warp's HBM
+        # traffic AND lets the Pallas kernel use the single-pass bf16 MXU
+        # contraction (tap selection stays bit-exact; ops/pallas/warp.py)
+        lowp = self.photometric_dtype == 'bfloat16'
+        fuse_scales = all(s == (H, W) for s in scale_shapes) and n > 1
         photometric_losses = [[] for _ in range(n)]
         for ref_image, pose in zip(context, poses):
-            warped = []
-            for i in range(n):
-                DH, DW = scale_shapes[i]
-                cam, ref_cam = self._build_cams((H, W), (DH, DW), K=K,
+            if fuse_scales:
+                # upsample_depth_maps: every scale samples the SAME full-res
+                # ref with a different grid — one fused warp per context
+                cam, ref_cam = self._build_cams((H, W), (H, W), K=K,
                                                 distortion=distortion,
                                                 pose=pose)
-                ref_i = interpolate(ref_image, (DH, DW), 'bilinear', True)
-                warped.append(view_synthesis(ref_i, depths[i], ref_cam, cam,
-                                             padding_mode=self.padding_mode))
+                ref_i = (ref_image.astype(jnp.bfloat16) if lowp
+                         else ref_image)
+                warped = view_synthesis_multi(
+                    ref_i, depths, ref_cam, cam,
+                    padding_mode=self.padding_mode)
+            else:
+                warped = []
+                for i in range(n):
+                    DH, DW = scale_shapes[i]
+                    cam, ref_cam = self._build_cams((H, W), (DH, DW), K=K,
+                                                    distortion=distortion,
+                                                    pose=pose)
+                    ref_i = interpolate(ref_image, (DH, DW), 'bilinear', True)
+                    if lowp:
+                        ref_i = ref_i.astype(jnp.bfloat16)
+                    warped.append(view_synthesis(
+                        ref_i, depths[i], ref_cam, cam,
+                        padding_mode=self.padding_mode))
             photo = self._photometric(warped, images, masks_scaled)
             for i in range(n):
                 photometric_losses[i].append(photo[i])

@@ -42,7 +42,8 @@ def setup_depth_net(config, params_cfg, dtype=None, **extra):
         )
     if config.name == 'ResNetSAN01':
         kwargs['use_enhanced_lidar'] = config.get('use_enhanced_lidar', False)
-    if config.name in ('ResNetSAN01', 'PackNetSAN01', 'PackNetSlimSAN01'):
+    if config.name in ('ResNetSAN01', 'YOLOv8SAN01', 'PackNetSAN01',
+                       'PackNetSlimSAN01'):
         kwargs['san_row_window'] = config.get('san_row_window', 0.0)
     if config.name == 'YOLOv8SAN01':
         kwargs.update(

@@ -21,7 +21,9 @@ from flax import linen as nn
 from packnet_sfm_tpu.networks.layers.yolov8 import (
     YOLOv8Backbone, DepthNeck)
 from packnet_sfm_tpu.networks.layers.resnet import DepthDecoder
-from packnet_sfm_tpu.networks.layers.san import MinkowskiEncoder, sparsify_depth
+from packnet_sfm_tpu.networks.layers.san import (
+    MinkowskiEncoder, sparsify_depth, active_row_window, crop_rows,
+    paste_rows)
 
 XAVIER = nn.initializers.glorot_uniform()
 
@@ -40,6 +42,8 @@ class YOLOv8SAN01(nn.Module):
     use_dual_head: bool = False
     min_depth: float = 0.5
     max_depth: float = 80.0
+    # active-row crop of the SAN branch (see layers/san.py); 0 = off
+    san_row_window: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -79,20 +83,34 @@ class YOLOv8SAN01(nn.Module):
         skip_features = [ad(f) for ad, f in zip(self.adapters, feats)]
         if input_depth is not None and self.use_film:
             d, mask = sparsify_depth(input_depth)
+            H = d.shape[1]
+            Hw = (int(H * self.san_row_window) // 32 * 32
+                  if self.san_row_window > 0 else 0)
+            crop = 0 < Hw < H and H % 32 == 0
+            if crop:
+                s, dropped = active_row_window(mask, Hw)
+                self.sow('intermediates', 'san_dropped', dropped)
+                d = crop_rows(d, s, Hw)
+                mask = crop_rows(mask, s, Hw)
             fused = []
             for i, feat in enumerate(skip_features):
-                result = self.mconvs(i, d, mask, train)
+                denom = (float(feat.shape[1] * feat.shape[2])
+                         if crop else None)
+                result = self.mconvs(i, d, mask, train, pool_denom=denom)
                 if len(result) == 4:
                     sparse_feat, mask, gamma, beta = result
-                    d = sparse_feat
-                    modulated = gamma * feat + beta
-                    w = jax.nn.sigmoid(self.weight[i])
-                    fused.append(w * modulated + (1 - w) * sparse_feat
-                                 + self.bias[i])
                 else:
+                    gamma = beta = None
                     sparse_feat, mask = result
-                    d = sparse_feat
-                    w = jax.nn.sigmoid(self.weight[i])
+                d = sparse_feat
+                if crop:
+                    sparse_feat = paste_rows(sparse_feat, s // (2 ** (i + 1)),
+                                             feat.shape[1])
+                w = jax.nn.sigmoid(self.weight[i])
+                if gamma is not None:
+                    fused.append(w * (gamma * feat + beta)
+                                 + (1 - w) * sparse_feat + self.bias[i])
+                else:
                     fused.append(w * feat + (1 - w) * sparse_feat
                                  + self.bias[i])
             skip_features = fused

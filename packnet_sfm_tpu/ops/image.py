@@ -217,6 +217,18 @@ def _gs_combine(p00, p01, p10, p11, wx, wy):
     return top + (bot - top) * wy
 
 
+def _gs_derivs(p00, p01, p10, p11, wx, wy):
+    """Cotangent-independent derivative maps of bilinear sampling:
+    d out/d x = A, d out/d y = B (unnormalized pixel coords). Saved as the
+    custom-VJP residuals so the backward is pure elementwise math — no
+    gathers, no kernel re-run — for BOTH warp backends."""
+    wxe = wx[..., None]
+    wye = wy[..., None]
+    A = (p01 - p00) * (1.0 - wye) + (p11 - p10) * wye
+    Bv = (p10 - p00) * (1.0 - wxe) + (p11 - p01) * wxe
+    return A, Bv
+
+
 # Warp backend switch: 'auto' (default on TPU) routes eligible shapes
 # through the Pallas matmul-gather kernel (ops/pallas/warp.py); 'xla' is
 # the packed-tap gather with the two TPU miscompile guards (_gs_patches).
@@ -229,10 +241,7 @@ def _gs_combine(p00, p01, p10, p11, wx, wy):
 # warped image inside each cond branch (only [B,Ho,Wo,C] crosses), saves
 # (image, grid) as the only residuals, and re-runs the kernel in the
 # backward to rebuild the taps for the analytic coordinate gradient.
-# Even so, 'auto' measured 39.9 vs 63.6 img/s on the selfsup bench
-# (round 3) — under investigation; 'xla' stays the default.
 WARP_IMPL = 'xla'
-_WARP_DTYPE = jnp.float32
 
 
 def _pallas_warp_eligible(image, grid):
@@ -242,41 +251,35 @@ def _pallas_warp_eligible(image, grid):
     return warp_pallas_supported(image, grid)
 
 
-def _warp_taps_cond(image, grid, padding_mode):
-    """Taps via the Pallas kernel with in-cond XLA fallback.
-
-    Returns (p00, p01, p10, p11, wx, wy). Only the four tap tensors cross
-    the cond boundary — callers that immediately combine should prefer
-    _warp_value_cond."""
-    from packnet_sfm_tpu.ops.pallas.warp import (
-        warp_plan, warp_taps_from_plan)
-    plan, viol = warp_plan(image.shape, grid, padding_mode)
-    if WARP_IMPL == 'force':  # timing-only: skip the violation fallback
-        taps = warp_taps_from_plan(image, plan, padding_mode,
-                                   dtype=_WARP_DTYPE)
-        return taps + (plan['wx'], plan['wy'])
-    taps = jax.lax.cond(
-        viol,
-        lambda: _gs_patches(image, grid, padding_mode)[:4],
-        lambda: warp_taps_from_plan(image, plan, padding_mode,
-                                    dtype=_WARP_DTYPE))
-    return taps + (plan['wx'], plan['wy'])
+def _warp_kernel_dtype(image):
+    """bf16 sources run the kernel's one-hot contraction single-pass on
+    the MXU (still tap-exact); f32 sources need 6-pass HIGHEST."""
+    return (jnp.bfloat16 if image.dtype == jnp.bfloat16 else jnp.float32)
 
 
 def _warp_value_cond(image, grid, padding_mode):
-    """Combined warped image via the Pallas kernel with in-cond XLA
-    fallback; only [B,Ho,Wo,C] crosses the cond boundary."""
+    """(warped, A, B) via the Pallas kernel with in-cond XLA fallback;
+    only the combined image and the two derivative maps cross the cond
+    boundary (the round-3 tap-materialization regression is structural:
+    six fp32 tap tensors per warp crossing the cond cost more than the
+    kernel saved)."""
     from packnet_sfm_tpu.ops.pallas.warp import (
         warp_plan, warp_taps_from_plan)
     plan, viol = warp_plan(image.shape, grid, padding_mode)
+    odt = image.dtype
+
+    def _finish(p00, p01, p10, p11, wx, wy):
+        out = _gs_combine(p00, p01, p10, p11, wx, wy)
+        A, Bv = _gs_derivs(p00, p01, p10, p11, wx, wy)
+        return out.astype(odt), A.astype(odt), Bv.astype(odt)
 
     def xla_branch():
-        return _gs_combine(*_gs_patches(image, grid, padding_mode))
+        return _finish(*_gs_patches(image, grid, padding_mode))
 
     def pallas_branch():
         taps = warp_taps_from_plan(image, plan, padding_mode,
-                                   dtype=_WARP_DTYPE)
-        return _gs_combine(*taps, plan['wx'], plan['wy'])
+                                   dtype=_warp_kernel_dtype(image))
+        return _finish(*taps, plan['wx'], plan['wy'])
 
     if WARP_IMPL == 'force':  # timing-only: skip the violation fallback
         return pallas_branch()
@@ -310,26 +313,20 @@ def grid_sample(image, grid, padding_mode='zeros'):
 
 def _gs_fwd(image, grid, padding_mode):
     if _pallas_warp_eligible(image, grid):
-        out = _warp_value_cond(image, grid, padding_mode)
-        return out, (image, grid, None)
+        out, A, Bv = _warp_value_cond(image, grid, padding_mode)
+        return out, (image, grid, A, Bv)
     p00, p01, p10, p11, wx, wy = _gs_patches(image, grid, padding_mode)
     out = _gs_combine(p00, p01, p10, p11, wx, wy)
-    return out, (image, grid, (p00, p01, p10, p11, wx, wy))
+    A, Bv = _gs_derivs(p00, p01, p10, p11, wx, wy)
+    return out.astype(image.dtype), (image, grid, A, Bv)
 
 
 def _gs_bwd(padding_mode, res, g):
-    image, grid, taps = res
-    if taps is None:
-        p00, p01, p10, p11, wx, wy = _warp_taps_cond(image, grid,
-                                                     padding_mode)
-    else:
-        p00, p01, p10, p11, wx, wy = taps
+    image, grid, A, Bv = res
     B, H, W, C = image.shape
-    wxe = wx[..., None]
-    wye = wy[..., None]
-    # d out / d wx = (1-wy)(p01-p00) + wy(p11-p10); chain to normalized gx
-    dwx = jnp.sum(g * ((p01 - p00) * (1.0 - wye) + (p11 - p10) * wye), -1)
-    dwy = jnp.sum(g * ((p10 - p00) * (1.0 - wxe) + (p11 - p01) * wxe), -1)
+    g32 = g.astype(jnp.float32)
+    dwx = jnp.sum(g32 * A.astype(jnp.float32), -1)
+    dwy = jnp.sum(g32 * Bv.astype(jnp.float32), -1)
     dgx = dwx * (0.5 * (W - 1))
     dgy = dwy * (0.5 * (H - 1))
     if padding_mode == 'border':
@@ -338,12 +335,12 @@ def _gs_bwd(padding_mode, res, g):
         yu = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
         dgx = dgx * ((xu >= 0) & (xu <= W - 1)).astype(dgx.dtype)
         dgy = dgy * ((yu >= 0) & (yu <= H - 1)).astype(dgy.dtype)
-    dgrid = jnp.stack([dgx, dgy], axis=-1)
+    dgrid = jnp.stack([dgx, dgy], axis=-1).astype(grid.dtype)
     # image cotangent via the scatter-adding XLA path; DCE'd when unused
-    _, vjp = jax.vjp(
+    out_xla, vjp = jax.vjp(
         lambda im: _grid_sample_xla(im, grid, padding_mode), image)
-    dimage, = vjp(g)
-    return dimage, dgrid
+    dimage, = vjp(g.astype(out_xla.dtype))
+    return dimage.astype(image.dtype), dgrid
 
 
 grid_sample.defvjp(_gs_fwd, _gs_bwd)

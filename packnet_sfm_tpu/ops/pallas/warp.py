@@ -19,31 +19,35 @@ ONE-HOT CONTRACTION on the MXU, which costs ~nothing at these shapes:
   same edge-shift packing trick as the XLA packed-tap path, ops/image.py).
 - per (batch, 8-row output tile) grid program, a TILE_BAND-row band of the
   packed source is DMA'd HBM->VMEM once.
-- per output row, the row's BH-row band is stacked into a [64, Wpad]
-  scratch (band-row s x packed-channel k in sublanes); per 128-lane output
-  chunk, a one-hot [WIN=384, 128] built from the x-indices contracts with
-  the [64, WIN] window: G[s*8+k, px] = src[band s, ch k, x(px)]. One MXU op
-  replaces 128 gathers.
+- per output row, the row's BH-row sub-band of the tile's DMA'd band is
+  viewed as [BH*8, Wpad] (band-row s x packed-channel k in sublanes); per
+  128-lane output chunk, a one-hot [WIN=384, 128] built from the x-indices
+  contracts with the [BH*8, WIN] window: G[s*8+k, px] = src[band s, ch k,
+  x(px)]. One MXU op replaces 128 gathers.
 - the vertical taps fall out by selecting sublane groups: top tap where
   s == ylocal(px), bottom where s == ylocal(px)+1 — BH cheap vector selects.
 
-Out-of-band geometry (row y-span > BH-2, tile tilt > TILE_BAND-BH, |dx|
-outside the 3-chunk window) sets a scalar violation flag OUTSIDE the kernel
-and the caller lax.cond-falls back to the XLA packed-tap path, so semantics
-stay exact for arbitrary flows. Out-of-IMAGE samples are exact by
-construction: coordinates are clamped into a 2-pixel dead border (zeros /
-edge padding) before the kernel, identical to the XLA path
-(ops/image.py:177-196).
+BH is sized for REAL SfM flows: vertical displacement varies with depth
+across an output row (dy = f*ty/Z + rotation), so per-row y-spans of 14-22
+rows are routine (measured on the selfsup workload, round 3) — BH=24
+covers them. Out-of-band geometry (row y-span > BH-2, tile tilt >
+TILE_BAND-BH, |dx| outside the 3-chunk window) sets a scalar violation
+flag OUTSIDE the kernel and the caller lax.cond-falls back to the XLA
+packed-tap path, so semantics stay exact for arbitrary flows. Out-of-IMAGE
+samples are exact by construction: coordinates are clamped into a 2-pixel
+dead border (zeros / edge padding) before the kernel, identical to the
+XLA path.
 
-The kernel returns the four bilinear taps (packed), NOT the interpolated
-value: the taps are the residuals of grid_sample's analytic custom VJP
-(ops/image.py:236-257), so the backward pass stays pure elementwise math
-and needs no second kernel.
+The kernel returns the four bilinear taps (packed); the caller combines
+them INSIDE the violation cond and saves only the analytic derivative maps
+(ops/image.py _gs_derivs) as VJP residuals, so (a) only image-sized
+tensors cross the cond boundary and (b) the backward pass is pure
+elementwise math — no gathers, no second kernel run.
 
-Precision: `dtype=bfloat16` runs the contraction in bf16 (source values
-quantized to bf16, fp32 accumulation) — pair it with
-tpu.photometric_dtype=bfloat16. `float32` is tap-exact modulo fp32 MXU
-accumulation (~1 ulp).
+Precision: `dtype=bfloat16` runs the contraction single-pass on the MXU
+and is still tap-EXACT for bf16 sources (a one-hot contraction with f32
+accumulation selects bf16 values bit-exactly) — the bf16 photometric path
+feeds bf16 refs (losses/photometric.py). `float32` needs 6-pass HIGHEST.
 """
 
 import functools
@@ -59,8 +63,13 @@ from jax.experimental.pallas import tpu as pltpu
 INTERPRET = False
 
 TILE_ROWS = 8     # output rows per grid program
-BH = 8            # per-output-row source band (y-span + bilinear + 1)
-TILE_BAND = 24    # DMA'd band per tile (covers inter-row tilt)
+# Per-output-row source band. Real SfM flows have vertical displacement
+# varying with DEPTH across one output row (dy = f*ty/Z + rotation): the
+# measured y-span on the selfsup workload is 14-18 rows (round 3 probe),
+# so the band must be much wider than bilinear+1 — BH=24 covers spans up
+# to 22; wider flows fall back to the XLA path via the violation flag.
+BH = 24
+TILE_BAND = 48    # DMA'd band per tile (BH + inter-row tilt <= 24)
 LANE = 128
 WIN = 3 * LANE    # per-chunk source window (displacement band |dx| <~ 128)
 
@@ -71,7 +80,7 @@ def _cdiv(a, b):
 
 def _warp_kernel(n_chunks, wpad, dtype, base_t_ref, rowoff_ref,
                  src_ref, xloc_ref, ylocal_ref,
-                 top_ref, bot_ref, band, stack, sem):
+                 top_ref, bot_ref, band, sem):
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -83,10 +92,9 @@ def _warp_kernel(n_chunks, wpad, dtype, base_t_ref, rowoff_ref,
     iota_win = jax.lax.broadcasted_iota(jnp.int32, (WIN, LANE), 0)
     for i in range(TILE_ROWS):
         off = rowoff_ref[b * (n_t * TILE_ROWS) + t * TILE_ROWS + i]
-        # stack this row's BH band rows: [64 = s*8+ch, wpad]
-        for s in range(BH):
-            stack[s * 8:(s + 1) * 8, :] = band[
-                pl.ds(off + s, 1)].reshape(8, wpad).astype(dtype)
+        # this row's BH-row sub-band as [BH*8 = s*8+ch sublanes, wpad]
+        # (contiguous (s, ch, w) -> (s*8+ch, w) reshape of the band slice)
+        win_full = band[pl.ds(off, BH)].reshape(BH * 8, wpad).astype(dtype)
         for c in range(n_chunks):
             lane0 = c * LANE
             wstart = min(max(0, (c - 1) * LANE), wpad - WIN)
@@ -94,16 +102,21 @@ def _warp_kernel(n_chunks, wpad, dtype, base_t_ref, rowoff_ref,
             # layouts Mosaic refuses to broadcast across sublanes
             xi = xloc_ref[0, i:i + 1, lane0:lane0 + LANE] - wstart  # [1,LANE]
             yi = ylocal_ref[0, i:i + 1, lane0:lane0 + LANE]
+            # build the one-hot in f32 and cast: selecting in `dtype`
+            # directly makes Mosaic relayout the i1 mask from the (8,128)
+            # i32-comparison tiling to bf16's (16,128), which it rejects
             onehot = jnp.where(iota_win == jnp.broadcast_to(xi, (WIN, LANE)),
-                               jnp.array(1, dtype), jnp.array(0, dtype))
-            window = stack[:, wstart:wstart + WIN]    # [64, WIN]
+                               1.0, 0.0).astype(dtype)
+            window = win_full[:, wstart:wstart + WIN]    # [BH*8, WIN]
             # f32 needs HIGHEST (6-pass) for exact taps; bf16 mode uses the
-            # native single-pass MXU (values quantized to bf16 by design)
+            # native single-pass MXU (and is still EXACT: a one-hot
+            # contraction of bf16 values with f32 accumulation selects the
+            # bf16 values bit-exactly)
             g = jax.lax.dot_general(
                 window, onehot, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=(jax.lax.Precision.HIGHEST
-                           if dtype == jnp.float32 else None))  # [64, LANE]
+                           if dtype == jnp.float32 else None))  # [BH*8, LANE]
             top = jnp.zeros((8, LANE), jnp.float32)
             bot = jnp.zeros((8, LANE), jnp.float32)
             for s in range(BH):
@@ -116,11 +129,11 @@ def _warp_kernel(n_chunks, wpad, dtype, base_t_ref, rowoff_ref,
             bot_ref[0, i, :, lane0:lane0 + LANE] = bot
 
 
-def _pack_source(image, padding_mode):
-    """[B,H,W,C<=3] -> padded tap-packed [B, Hp, 8, Wpad] fp32."""
+def _pack_source(image, padding_mode, dtype=jnp.float32):
+    """[B,H,W,C<=3] -> padded tap-packed [B, Hp, 8, Wpad] in `dtype`."""
     B, H, W, C = image.shape
     mode = 'constant' if padding_mode == 'zeros' else 'edge'
-    P = jnp.pad(image.astype(jnp.float32),
+    P = jnp.pad(image.astype(dtype),
                 ((0, 0), (2, 2), (2, 2), (0, 0)), mode=mode)
     right = jnp.concatenate([P[:, :, 1:], P[:, :, -1:]], axis=2)
     packed = jnp.concatenate([P, right], axis=-1).transpose(0, 1, 3, 2)
@@ -201,7 +214,7 @@ def warp_taps_from_plan(image, plan, padding_mode='zeros',
     """Run the warp kernel given a prepared plan. Returns (p00,p01,p10,p11)."""
     interpret = interpret or INTERPRET
     B, H, W, C = image.shape
-    packed, Hp, wpad = _pack_source(image, padding_mode)
+    packed, Hp, wpad = _pack_source(image, padding_mode, dtype)
     assert wpad == plan['wpad']
     n_chunks, n_t = plan['n_chunks'], plan['n_t']
     wo_pad, ho_pad = plan['wo_pad'], plan['ho_pad']
@@ -230,8 +243,7 @@ def warp_taps_from_plan(image, plan, padding_mode='zeros',
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE_BAND, 8, wpad), jnp.float32),
-            pltpu.VMEM((8 * BH, wpad), dtype),
+            pltpu.VMEM((TILE_BAND, 8, wpad), dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

@@ -18,11 +18,12 @@ def run(impl, ablate=None):
     from packnet_sfm_tpu.ops import image as image_ops
     image_ops.WARP_IMPL = impl
     from packnet_sfm_tpu.networks.layers import san
-    if ablate == 'sanxla':
+    if ablate == 'sanauto':    # opt-in: Pallas block-sparse SAN convs
+        san.SAN_CONV_IMPL = 'auto'
+        ablate = None
+    elif ablate == 'sanxla':
         san.SAN_CONV_IMPL = 'xla'
         ablate = None
-    else:
-        san.SAN_CONV_IMPL = 'auto'
 
     import bench
     cfg = bench._base_cfg()

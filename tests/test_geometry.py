@@ -111,6 +111,37 @@ def test_view_synthesis_identity(rng):
     np.testing.assert_allclose(np.asarray(warped), np.asarray(img), atol=1e-4)
 
 
+def test_view_synthesis_multi_matches_per_scale(rng):
+    """The row-concatenated fused warp equals n independent warps — value
+    AND depth gradients (the photometric hot path uses it under
+    upsample_depth_maps)."""
+    import jax
+    from packnet_sfm_tpu.geometry.camera_utils import view_synthesis_multi
+    B, H, W = 2, 16, 20
+    cam = make_camera(B, H, W)
+    vec = (rng.randn(B, 6) * 0.05).astype(np.float32)
+    ref_cam = Camera(K=cam.K, Tcw=Pose.from_vec(jnp.asarray(vec)))
+    img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    depths = [jnp.asarray(2.0 + rng.rand(B, H, W, 1).astype(np.float32))
+              for _ in range(4)]
+
+    def fused(ds):
+        ws = view_synthesis_multi(img, ds, ref_cam, cam)
+        return sum(jnp.sum(w ** 2) for w in ws), ws
+
+    def single(ds):
+        ws = [view_synthesis(img, d, ref_cam, cam) for d in ds]
+        return sum(jnp.sum(w ** 2) for w in ws), ws
+
+    (lf, wf), gf = jax.value_and_grad(fused, has_aux=True)(depths)
+    (ls, wsg), gs = jax.value_and_grad(single, has_aux=True)(depths)
+    for a, b in zip(wf, wsg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(float(lf), float(ls), rtol=1e-6)
+    for a, b in zip(gf, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 VADAS_CALIB = {
     'k': np.array([-0.0004, 1.0136, -0.0623, 0.2852, -0.3210, 0.1638, -0.0299],
                   np.float32),

@@ -33,7 +33,7 @@ def _flow_grid(B, H, W, rng, dx_amp=30.0, dy_amp=2.5):
 
 
 @pytest.mark.parametrize('padding_mode', ['zeros', 'border'])
-@pytest.mark.parametrize('shape', [(2, 64, 256), (1, 40, 200)])
+@pytest.mark.parametrize('shape', [(2, 64, 256), (1, 48, 200)])
 def test_warp_taps_matches_xla(padding_mode, shape):
     B, H, W = shape
     rng = np.random.RandomState(0)
@@ -52,7 +52,7 @@ def test_warp_taps_out_of_band_flags_violation():
     # W=640 has 5 lane chunks, so a 200 px displacement leaves the 3-chunk
     # window (at W<=380 the window covers the whole image and ANY |dx| is
     # legal — correctly no violation)
-    B, H, W = 1, 32, 640
+    B, H, W = 1, 64, 640
     rng = np.random.RandomState(1)
     img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
@@ -81,6 +81,25 @@ def test_warp_taps_vertical_span_flags_violation():
     assert bool(got[6])
 
 
+def test_grid_sample_dispatch_bf16_value_parity(monkeypatch):
+    """bf16 sources select taps bit-exactly in the kernel's single-pass
+    bf16 contraction — kernel output must equal the XLA path's exactly."""
+    import packnet_sfm_tpu.ops.pallas.warp as warp_mod
+    import packnet_sfm_tpu.ops.image as image_mod
+    monkeypatch.setattr(warp_mod, 'INTERPRET', True)
+    monkeypatch.setattr(image_mod, 'WARP_IMPL', 'auto')
+    B, H, W = 1, 64, 384
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.rand(B, H, W, 3), jnp.bfloat16)
+    grid = _flow_grid(B, H, W, rng, dx_amp=15.0, dy_amp=2.0)
+    want = image_mod._gs_combine(*image_mod._gs_patches(img, grid, 'zeros'))
+    got = image_mod.grid_sample(img, grid, 'zeros')
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want.astype(jnp.bfloat16),
+                                          np.float32), atol=1e-2)
+
+
 @pytest.mark.parametrize('big_flow', [False, True])
 def test_grid_sample_dispatch_value_and_grad_parity(big_flow, monkeypatch):
     """The fused-combine dispatch (kernel inside the violation cond, only
@@ -93,7 +112,7 @@ def test_grid_sample_dispatch_value_and_grad_parity(big_flow, monkeypatch):
     monkeypatch.setattr(warp_mod, 'INTERPRET', True)
     monkeypatch.setattr(image_mod, 'WARP_IMPL', 'auto')
 
-    B, H, W = 1, 32, 640
+    B, H, W = 1, 64, 640
     rng = np.random.RandomState(4)
     img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     if big_flow:

@@ -96,6 +96,26 @@ def test_compare_predictions(tree):
     assert (tree / 'cmp' / 'img_000_cmp.png').exists()
 
 
+def test_visualize_triptych(tree):
+    stdout = run('visualization/visualize_triptych.py',
+                 '--a', str(tree / 'npz'), '--b', str(tree / 'npu'),
+                 '--gt', str(tree / 'gt'), '--images', str(tree / 'rgb'),
+                 '--output', str(tree / 'tri'), '--labels', 'FP32', 'NPU',
+                 '--max-depth', '15')
+    assert '2 panels' in stdout
+    img = np.asarray(Image.open(tree / 'tri' / 'img_000_triptych.png'))
+    assert img.shape == (48 * 3, 64 * 3, 3)  # rgb row + 2x3 panel grid
+    assert (tree / 'tri' / 'index.html').exists()
+    # worst-N by B's abs_rel renders only the single worst image
+    stdout = run('visualization/visualize_triptych.py',
+                 '--a', str(tree / 'npz'), '--b', str(tree / 'npu'),
+                 '--gt', str(tree / 'gt'),
+                 '--output', str(tree / 'tri1'), '--worst', '1',
+                 '--rank-by', 'b', '--max-depth', '15')
+    assert '1 panels' in stdout
+    assert len(list((tree / 'tri1').glob('*_triptych.png'))) == 1
+
+
 def test_generate_luts(tree):
     out = str(tree / 'luts.npz')
     stdout = run('data_processing/generate_luts.py',
