@@ -1,7 +1,8 @@
 """
-Convert npz depth maps to 16-bit PNG (depth * 256 convention)
+Convert npz/npy depth maps to 16-bit PNG (depth * 256 convention)
 (reference: scripts/data_processing/convert_npz_to_separate_dirs.py,
-convert_fp32_npy_to_png.py).
+convert_fp32_npy_to_png.py — .npy inputs accept the [1,1,H,W] raw
+model-dump shapes that tool handles).
 
 Usage:
     python scripts/data_processing/convert_npz_to_png.py \
@@ -26,6 +27,10 @@ from PIL import Image
 
 def load_depth_npz(path, key=None):
     data = np.load(path)
+    if path.endswith('.npy'):
+        # raw fp32 dump (reference convert_fp32_npy_to_png.py): allow
+        # [1,1,H,W] / [1,H,W] model-output shapes
+        return np.squeeze(data).astype(np.float32)
     if key and key in data:
         return data[key].astype(np.float32)
     for k in ('depth', 'velodyne_depth'):
@@ -63,8 +68,11 @@ def main():
     if os.path.isfile(args.input):
         files = [args.input]
     else:
-        files = sorted(glob.glob(os.path.join(args.input, '**', '*.npz'),
-                                 recursive=True))
+        files = sorted(
+            glob.glob(os.path.join(args.input, '**', '*.npz'),
+                      recursive=True) +
+            glob.glob(os.path.join(args.input, '**', '*.npy'),
+                      recursive=True))
     print('converting {} npz files'.format(len(files)))
     for f in files:
         rel = os.path.relpath(f, args.input) if os.path.isdir(args.input) \

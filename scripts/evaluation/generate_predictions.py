@@ -78,8 +78,16 @@ def main():
     p.add_argument('--save', nargs='+', default=['npz'],
                    choices=['npz', 'png'])
     p.add_argument('--limit', type=int, default=0)
+    p.add_argument('--device', default='cpu', choices=['cpu', 'default'],
+                   help="offline dumps default to host CPU (the axon "
+                        "sitecustomize overrides JAX_PLATFORMS, so without "
+                        "this the tool blocks on the TPU tunnel); pass "
+                        "'default' to run big dump jobs on the chip")
     args = p.parse_args()
 
+    if args.device == 'cpu':
+        from packnet_sfm_tpu.utils.hostjax import force_cpu
+        force_cpu()
     import jax
     import jax.numpy as jnp
     from packnet_sfm_tpu.config import parse_test_file

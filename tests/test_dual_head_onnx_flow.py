@@ -121,6 +121,38 @@ def test_save_outputs_separate_dirs_int8(dual_head_ckpt, tmp_path):
                                np.round(integer * 255.0), atol=1e-4)
 
 
+def test_evaluate_unified_compare(dual_head_ckpt, tmp_path):
+    """evaluate_unified --mode compare scores framework dumps and 'NPU'
+    dumps on the SAME stems and reports the delta."""
+    import json
+    from PIL import Image
+    rng = np.random.RandomState(3)
+    imgs, gt, npu = tmp_path / 'imgs', tmp_path / 'gt', tmp_path / 'npu'
+    for d in (imgs, gt, npu):
+        d.mkdir()
+    for i in range(2):
+        stem = 'frame_{:03d}'.format(i)
+        Image.fromarray((rng.rand(64, 96, 3) * 255).astype(np.uint8)).save(
+            str(imgs / (stem + '.png')))
+        depth = (rng.rand(64, 96) * 10 + 1).astype(np.float32)
+        Image.fromarray((depth * 256).astype(np.uint16)).save(
+            str(gt / (stem + '.png')))
+        np.save(str(npu / (stem + '.npy')),
+                depth * (1 + 0.05 * rng.randn(64, 96).astype(np.float32)))
+    out_json = tmp_path / 'unified.json'
+    stdout = run('evaluation/evaluate_unified.py', '--mode', 'compare',
+                 '--checkpoint', dual_head_ckpt, '--images', str(imgs),
+                 '--npu-dir', str(npu), '--gt', str(gt),
+                 '--workdir', str(tmp_path / 'work'),
+                 '--output-json', str(out_json))
+    assert 'unified eval [compare] over 2 shared samples' in stdout
+    data = json.loads(out_json.read_text())
+    assert set(data) >= {'fp32', 'npu', 'delta'}
+    assert data['npu']['count'] == 2
+    # the 5%-perturbed 'NPU' dump is ~5% off GT regardless of the model
+    assert 0.01 < data['npu']['abs_rel'] < 0.2
+
+
 def test_generate_predictions_dual_head(dual_head_ckpt, tmp_path):
     """generate_predictions.py dumps per-head npy + composed depth npz from
     a dual-head checkpoint over a directory of images."""
