@@ -288,3 +288,81 @@ def test_calibration_split(tmp_path):
     entries = json.loads(out.read_text())
     assert 0 < len(entries) <= 40
     assert all('new_filename' in e and 'dataset_root' in e for e in entries)
+
+
+def _write_ascii_pcd(path, pts):
+    with open(path, 'w') as f:
+        f.write('# .PCD v0.7\nVERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\n'
+                'TYPE F F F\nCOUNT 1 1 1\nWIDTH {n}\nHEIGHT 1\n'
+                'POINTS {n}\nDATA ascii\n'.format(n=len(pts)))
+        for p in pts:
+            f.write('{:.4f} {:.4f} {:.4f}\n'.format(*p))
+
+
+def test_pcd_depth_pipeline(tmp_path):
+    """Integrated PCD -> GT pipeline: road rings synthesized from the
+    ground band, merged + synthetic-only depth maps and a resized mirror
+    (reference: scripts/refrence_code/integrated_pcd_depth_pipeline_newest.py)."""
+    rng = np.random.RandomState(7)
+    pcd_dir = tmp_path / 'pcd'
+    pcd_dir.mkdir()
+    # road plane behind the car (x<0, z~-1.5) + a wall at x=-8
+    n = 400
+    ground = np.stack([-(rng.rand(n) * 8 + 2),
+                       rng.randn(n) * 2.0,
+                       -1.5 + rng.rand(n) * 0.2], 1)
+    wall = np.stack([np.full(60, -8.0), rng.randn(60),
+                     rng.rand(60) * 2 + 0.5], 1)
+    _write_ascii_pcd(pcd_dir / 'frame_000.pcd',
+                     np.concatenate([ground, wall]))
+    out = run('data_processing/pcd_depth_pipeline.py',
+              '--input', str(tmp_path), '--image_size', '640', '512',
+              '--resized', '320', '256', '--viz', '--xy_sep', '0.05')
+    assert 'pipeline done: 1 clouds' in out
+
+    merged_npz = np.load(tmp_path / 'newest_pcd' / 'frame_000.npz')
+    n_orig = int(merged_npz['n_original'])
+    assert merged_npz['points'].shape[0] > n_orig        # rings were added
+    assert merged_npz['closest_line'].shape[0] > 10      # azimuth coverage
+
+    depth = np.asarray(Image.open(
+        tmp_path / 'newest_depth_maps' / 'frame_000.png'),
+        np.float32) / 256.0
+    synth = np.asarray(Image.open(
+        tmp_path / 'newest_synthetic_depth_maps' / 'frame_000.png'),
+        np.float32) / 256.0
+    assert depth.shape == (512, 640)
+    assert (synth > 0).sum() > 0
+    # merged = original + synthetic: strictly more coverage than synth alone
+    assert (depth > 0).sum() > (synth > 0).sum()
+    # synthetic road points are below the horizon in a forward fisheye view
+    assert (synth > 0).any(axis=1).argmax() > 100
+
+    small = np.asarray(Image.open(
+        tmp_path / '320x256_newest' / 'newest_depth_maps' /
+        'frame_000.png'), np.float32) / 256.0
+    assert small.shape == (256, 320) and (small > 0).sum() > 0
+    assert (tmp_path / 'newest_colormap' /
+            'frame_000_colorized.png').exists()
+
+
+def test_pcd_pipeline_closest_line_unit():
+    """closest_line keeps exactly the nearest 3D point per azimuth bin."""
+    sys.path.insert(0, os.path.join(REPO, 'scripts', 'data_processing'))
+    from pcd_depth_pipeline import closest_line, synth_road_rings
+    # two points in the same azimuth (y=0-), different range
+    pts = np.array([[-3.0, -0.001, -1.0],
+                    [-6.0, -0.002, -1.0],
+                    [-4.0, 3.0, -1.0]])
+    line = closest_line(pts, z_range=(-3, 0), xy_dist=(1.0, 10.0))
+    assert line.shape[0] == 2
+    assert any(np.allclose(r, [-3.0, -0.001, -1.0]) for r in line)
+    assert not any(np.allclose(r, [-6.0, -0.002, -1.0]) for r in line)
+    # rings: anchored to the closest |y|<=band point, all x<=0, radii
+    # bounded by the anchor range
+    rings = synth_road_rings(pts, y_band=0.01, center_z=-1.0, n_radii=5,
+                             circle_segs=64)
+    assert rings.shape[0] > 0 and (rings[:, 0] <= 0).all()
+    anchor_range = np.linalg.norm(pts[0] - np.array([0, 0, -1.0]))
+    assert np.linalg.norm(rings - [0, 0, -1.0], axis=1).max() \
+        <= anchor_range + 1e-6
