@@ -44,51 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-from project_lidar_ncdb import load_points
-
-
-def rodrigues_to_mat(rvec):
-    """Axis-angle -> rotation matrix (offline calib convention —
-    reference: integrated_pcd_depth_pipeline_newest.py:457-466)."""
-    rvec = np.asarray(rvec, np.float64)
-    theta = np.linalg.norm(rvec)
-    if theta < 1e-12:
-        return np.eye(3)
-    k = rvec / theta
-    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
-    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
-
-
-def vadas_project_offline(cam, intr, W, H, ref_size=(1920, 1536)):
-    """Offline VADAS projection: +X forward, r_d = poly(theta*s)/div, pixel
-    = r_d*(cos,sin)phi + (ux, uy) + image center; depth is the forward
-    distance Xc. This is the convention that generated the reference's
-    'newest' GT depth maps (integrated_pcd_depth_pipeline_newest.py:398-425)
-    — distinct from the training-time FisheyeCamera (+Z forward, raw ux),
-    whose parity lives in geometry/camera.py.
-
-    Intrinsics auto-rescale from ref_size (ux*sx, uy*sy, div/sx —
-    reference :387-396)."""
-    k = intr[0:7]
-    s, div, ux, uy = intr[7], intr[8], intr[9], intr[10]
-    if (W, H) != ref_size:
-        sx, sy = W / ref_size[0], H / ref_size[1]
-        ux, uy, div = ux * sx, uy * sy, div / sx
-    Xc, Yc, Zc = cam[:, 0], cam[:, 1], cam[:, 2]
-    nx, ny = -Yc, -Zc
-    dist = np.maximum(np.hypot(nx, ny), np.finfo(np.float64).eps)
-    cos_phi, sin_phi = nx / dist, ny / dist
-    theta = np.arctan2(dist, Xc)
-    xd = theta * s
-    rd = np.zeros_like(xd)
-    for i in range(6, -1, -1):
-        rd = rd * xd + k[i]
-    rd = rd / div
-    u = np.round(rd * cos_phi + ux + W / 2).astype(np.int64)
-    v = np.round(rd * sin_phi + uy + H / 2).astype(np.int64)
-    valid = ((Xc > 0) & np.isfinite(rd) &
-             (u >= 0) & (u < W) & (v >= 0) & (v < H))
-    return u, v, Xc, valid
+from project_lidar_ncdb import a6_world2cam, lidar_to_depth, load_points
 
 
 def load_cloud(path):
@@ -202,22 +158,6 @@ def synth_road_rings(points, y_band=0.01, center_z=-1.0, n_radii=20,
     return rings
 
 
-def project_depth(points, world2cam, lidar2world, intr, size, max_depth):
-    """Lidar-frame points -> [H, W] depth map of forward distance Xc
-    (0 = no return); per-pixel occlusion keeps the nearest point."""
-    W, H = size
-    if points.shape[0] == 0:
-        return np.zeros((H, W), np.float32)
-    world = (lidar2world[:3, :3] @ points.T + lidar2world[:3, 3:4]).T
-    cam = (world2cam[:3, :3] @ world.T + world2cam[:3, 3:4]).T
-    u, v, z, valid = vadas_project_offline(cam, intr, W, H)
-    u, v, z = u[valid], v[valid], np.clip(z[valid], 0, max_depth)
-    depth = np.zeros((H, W), np.float32)
-    order = np.argsort(-z)  # near overwrites far
-    depth[v[order], u[order]] = z[order]
-    return depth
-
-
 def save_depth_png(depth, path):
     import warnings
     from PIL import Image
@@ -299,10 +239,7 @@ def main(argv=None):
         return 1
 
     intr = np.asarray(DEFAULT_CALIB_A6['intrinsic'], np.float64)
-    ext = np.asarray(DEFAULT_CALIB_A6['extrinsic'], np.float64)
-    world2cam = np.eye(4)
-    world2cam[:3, :3] = rodrigues_to_mat(ext[3:6])
-    world2cam[:3, 3] = ext[:3]
+    world2cam = a6_world2cam()
 
     trees = [(base, tuple(args.image_size))]
     if args.resized:
@@ -328,9 +265,9 @@ def main(argv=None):
         merged = rings if args.no_merge_original else (
             np.concatenate([cloud, rings]) if rings.size else cloud)
 
-        depth = project_depth(merged, world2cam, DEFAULT_LIDAR_TO_WORLD,
+        depth = lidar_to_depth(merged, world2cam, DEFAULT_LIDAR_TO_WORLD,
                               intr, tuple(args.image_size), args.max_depth)
-        synth = project_depth(rings, world2cam, DEFAULT_LIDAR_TO_WORLD,
+        synth = lidar_to_depth(rings, world2cam, DEFAULT_LIDAR_TO_WORLD,
                               intr, tuple(args.image_size), args.max_depth)
 
         np.savez_compressed(

@@ -366,3 +366,38 @@ def test_pcd_pipeline_closest_line_unit():
     anchor_range = np.linalg.norm(pts[0] - np.array([0, 0, -1.0]))
     assert np.linalg.norm(rings - [0, 0, -1.0], axis=1).max() \
         <= anchor_range + 1e-6
+
+
+def test_project_lidar_ncdb(tmp_path):
+    """LiDAR -> depth-PNG projection in the offline GT convention: road
+    points land below the vertical midline, wall points above, and stored
+    values equal forward distance Xc (reference:
+    scripts/refrence_code/ref_camera_lidar_projector.py)."""
+    rng = np.random.RandomState(1)
+    lidar = tmp_path / 'synced_data' / 'lidar'
+    imgs = tmp_path / 'synced_data' / 'image_a6'
+    lidar.mkdir(parents=True)
+    imgs.mkdir()
+    ground = np.stack([-(rng.rand(300) * 8 + 2), rng.randn(300) * 2.0,
+                       -1.5 + rng.rand(300) * 0.2], 1)
+    wall = np.stack([np.full(50, -8.0), rng.randn(50) * 0.5,
+                     rng.rand(50) * 1.5 + 1.0], 1)
+    np.savez(lidar / '000001.npz',
+             points=np.concatenate([ground, wall]).astype(np.float32))
+    Image.fromarray(np.zeros((768, 960, 3), np.uint8)).save(
+        imgs / '000001.png')
+    out = run('data_processing/project_lidar_ncdb.py',
+              '--root', str(tmp_path), '--lidar_dir', 'synced_data/lidar',
+              '--image_dir', 'synced_data/image_a6',
+              '--out_folder', 'depth_out')
+    assert 'projected 1 clouds' in out
+    depth = np.asarray(Image.open(
+        tmp_path / 'synced_data' / 'depth_out' / '000001.png'),
+        np.float32) / 256.0
+    assert depth.shape == (768, 960)
+    v_valid, _ = np.nonzero(depth > 0)
+    assert v_valid.size > 100
+    # road points dominate: the valid-pixel band sits in the lower 2/3
+    assert np.median(v_valid) > 768 / 3
+    # stored depth is forward distance: bounded by the cloud's x-range + margin
+    assert 1.5 < depth[depth > 0].min() and depth.max() < 12.0
