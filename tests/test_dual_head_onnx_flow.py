@@ -176,3 +176,30 @@ def test_generate_predictions_dual_head(dual_head_ckpt, tmp_path):
     max_d = 15.0  # overfit_synthetic params.max_depth
     np.testing.assert_allclose(
         depth, (integer * max_d + frac)[..., 0], rtol=1e-5, atol=1e-5)
+
+
+def test_generate_torch_predictions_match(dual_head_ckpt, tmp_path):
+    """Torch-mirror dumps agree with framework dumps on the same images
+    (reference: scripts/evaluation/generate_pytorch_predictions.py — the
+    cross-pipeline prediction witness)."""
+    from PIL import Image
+    rng = np.random.RandomState(11)
+    imgs = tmp_path / 'imgs'
+    imgs.mkdir()
+    for i in range(2):
+        Image.fromarray((rng.rand(64, 96, 3) * 255).astype(np.uint8)).save(
+            str(imgs / 'f_{:02d}.png'.format(i)))
+    jax_out, torch_out = str(tmp_path / 'jax'), str(tmp_path / 'torch')
+    run('evaluation/generate_predictions.py',
+        '--checkpoint', dual_head_ckpt, '--images', str(imgs),
+        '--output', jax_out)
+    stdout = run('evaluation/generate_torch_predictions.py',
+                 '--checkpoint', dual_head_ckpt, '--images', str(imgs),
+                 '--output', torch_out)
+    assert 'wrote 2 torch-mirror predictions' in stdout
+    for i in range(2):
+        a = np.load(os.path.join(jax_out, 'f_{:02d}.npz'.format(i)))['depth']
+        b = np.load(os.path.join(
+            torch_out, 'f_{:02d}.npz'.format(i)))['depth']
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() < 1e-2, np.abs(a - b).max()
