@@ -401,3 +401,31 @@ def test_project_lidar_ncdb(tmp_path):
     assert np.median(v_valid) > 768 / 3
     # stored depth is forward distance: bounded by the cloud's x-range + margin
     assert 1.5 < depth[depth > 0].min() and depth.max() < 12.0
+
+
+def test_video_projection(tmp_path):
+    """Video projection overlay: per-frame cloud + prediction panels and an
+    assembled mp4 (reference:
+    scripts/visualization/visualize_ncdb_video_projection.py)."""
+    rng = np.random.RandomState(5)
+    imgs, clouds, preds = (tmp_path / d for d in ('rgb', 'lidar', 'pred'))
+    for d in (imgs, clouds, preds):
+        d.mkdir()
+    for i in range(3):
+        stem = 'fr_{:03d}'.format(i)
+        Image.fromarray((rng.rand(96, 128, 3) * 255).astype(np.uint8)).save(
+            str(imgs / (stem + '.png')))
+        ground = np.stack([-(rng.rand(200) * 8 + 2), rng.randn(200) * 2.0,
+                           -1.5 + rng.rand(200) * 0.2], 1)
+        np.savez(str(clouds / (stem + '.npz')),
+                 points=ground.astype(np.float32))
+        np.save(str(preds / (stem + '.npy')),
+                (rng.rand(96, 128) * 10 + 1).astype(np.float32))
+    out = run('visualization/video_projection.py',
+              '--images', str(imgs), '--clouds', str(clouds),
+              '--pred', str(preds), '--output', str(tmp_path / 'panels'),
+              '--video', str(tmp_path / 'seq.mp4'), '--fps', '5')
+    assert 'rendered 3 frame panels' in out
+    panel = np.asarray(Image.open(tmp_path / 'panels' / 'fr_000.png'))
+    assert panel.shape == (96, 256, 3)  # two side-by-side panels
+    assert (tmp_path / 'seq.mp4').stat().st_size > 0
