@@ -28,46 +28,39 @@ def _dtype_from_config(cfg):
         name, jnp.float32)
 
 
+def _net_kwargs(cls, config, params_cfg=None, dtype=None, extra=None):
+    """Config -> constructor kwargs by dataclass-field introspection: a key
+    is forwarded iff the network declares a field for it. Empty strings and
+    None fall through to the class defaults (which mirror the reference
+    defaults — see each network's field list)."""
+    import dataclasses
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key in fields:
+        if key in ('dtype', 'parent', 'name'):
+            continue
+        depth_bound = key in ('min_depth', 'max_depth')
+        src = params_cfg if (params_cfg is not None and depth_bound) \
+            else config
+        v = src.get(key, None) if hasattr(src, 'get') else None
+        if v is None or v == '' or (depth_bound and not v):
+            continue  # unset (incl. min/max_depth 0.0) -> class default
+        kwargs[key] = tuple(v) if isinstance(v, list) else v
+    if dtype is not None and 'dtype' in fields:
+        kwargs['dtype'] = dtype
+    kwargs.update(extra or {})
+    return kwargs
+
+
 def setup_depth_net(config, params_cfg, dtype=None, **extra):
     """Build a depth network from cfg.model.depth_net (+ cfg.model.params)."""
     cls = lookup('depth_net', config.name)
-    kwargs = dict(version=config.version, dropout=config.dropout)
-    if config.name in ('ResNetSAN01', 'YOLOv8SAN01'):
-        kwargs.update(
-            use_film=config.get('use_film', False),
-            film_scales=tuple(config.get('film_scales', [0])),
-            use_dual_head=config.get('use_dual_head', False),
-            min_depth=params_cfg.get('min_depth', 0.5) or 0.5,
-            max_depth=params_cfg.get('max_depth', 80.0) or 80.0,
-        )
-    if config.name == 'ResNetSAN01':
-        kwargs['use_enhanced_lidar'] = config.get('use_enhanced_lidar', False)
-    if config.name in ('ResNetSAN01', 'YOLOv8SAN01', 'PackNetSAN01',
-                       'PackNetSlimSAN01'):
-        kwargs['san_row_window'] = config.get('san_row_window', 0.0)
-    if config.name == 'YOLOv8SAN01':
-        kwargs.update(
-            variant=config.get('variant', 's'),
-            use_neck_features=config.get('use_neck_features', False),
-            use_depth_neck=config.get('use_depth_neck', False),
-            use_imagenet_pretrained=config.get('use_imagenet_pretrained',
-                                               False),
-        )
-    if dtype is not None:
-        kwargs['dtype'] = dtype
-    kwargs.update(extra)
-    return cls(**kwargs)
+    return cls(**_net_kwargs(cls, config, params_cfg, dtype, extra))
 
 
 def setup_pose_net(config, dtype=None, **extra):
     cls = lookup('pose_net', config.name)
-    kwargs = {}
-    if config.name == 'PoseResNet':
-        kwargs['version'] = config.version or '18pt'
-    if dtype is not None:
-        kwargs['dtype'] = dtype
-    kwargs.update(extra)
-    return cls(**kwargs)
+    return cls(**_net_kwargs(cls, config, None, dtype, extra))
 
 
 def setup_model(config, prepared=True):

@@ -165,12 +165,24 @@ class PackNetSlim01(nn.Module):
 
 
 class _PackNetSANBase(nn.Module):
-    """Shared SAN fusion wrapper over a PackNet core."""
+    """Shared SAN fusion wrapper over a PackNet core.
+
+    Two fusion modes, matching the reference pair exactly:
+    - plain (use_film=False): 5-scale additive fusion over the packed skips
+      `skip * w_i + san + b_i` (PackNetSAN01.py:202-206);
+    - FiLM (use_film=True): 6-scale fusion including the full-res pre_calc
+      skip, where each film scale modulates the RGB skip with
+      pooled-depth-conditioned (gamma, beta) and blends
+      `w_i * (gamma*skip + beta) + (1-w_i) * san + b_i`; the sparse branch
+      only descends through the film scales and its features upsample
+      2x-nearest to the skip resolution (PackNetSlimSAN01.py:90-196)."""
     version: str = '1A'
     dropout: float = 0.0
     ni: int = 32
     channels: Sequence[int] = (32, 64, 128, 256, 512)
     num_3d_feat: int = 4
+    use_film: bool = False
+    film_scales: Sequence[int] = (0, 1)  # must be a contiguous prefix 0..k
     # active-row crop of the SAN branch (see layers/san.py); 0 = off
     san_row_window: float = 0.0
     dtype: jnp.dtype = jnp.float32
@@ -180,22 +192,75 @@ class _PackNetSANBase(nn.Module):
                                  channels=self.channels,
                                  num_3d_feat=self.num_3d_feat,
                                  dropout=self.dropout, dtype=self.dtype)
-        self.mconvs = MinkowskiEncoder(channels=tuple(self.channels),
-                                       dtype=self.dtype)
-        self.weight = self.param('weight', lambda k: jnp.ones((5,)))
-        self.bias = self.param('bias', lambda k: jnp.zeros((5,)))
+        if self.use_film:
+            # the sparse stages chain sequentially, so the modulated scales
+            # must be a contiguous prefix (same constraint as the
+            # reference's stage counter, PackNetSlimSAN01.py:150-156)
+            assert tuple(self.film_scales) == tuple(
+                range(len(self.film_scales))), \
+                'film_scales must be a contiguous prefix 0..k, got {}'.format(
+                    self.film_scales)
+            feat_ch = (self.ni,) + tuple(self.channels)
+            self.mconvs = MinkowskiEncoder(
+                channels=feat_ch,
+                rgb_channels=tuple(
+                    c if i in tuple(self.film_scales) else 0
+                    for i, c in enumerate(feat_ch)),
+                dtype=self.dtype)
+            n_gates = len(feat_ch)
+            gate_init = 0.5
+        else:
+            self.mconvs = MinkowskiEncoder(channels=tuple(self.channels),
+                                           dtype=self.dtype)
+            n_gates, gate_init = 5, 1.0
+        self.weight = self.param(
+            'weight', lambda k: jnp.full((n_gates,), gate_init))
+        self.bias = self.param('bias', lambda k: jnp.zeros((n_gates,)))
+
+    def _crop_state(self, mask):
+        H = mask.shape[1]
+        Hw = (int(H * self.san_row_window) // 32 * 32
+              if self.san_row_window > 0 else 0)
+        crop = 0 < Hw < H and H % 32 == 0
+        if not crop:
+            return False, None, Hw
+        s, dropped = active_row_window(mask, Hw)
+        self.sow('intermediates', 'san_dropped', dropped)
+        return True, s, Hw
 
     def run_network(self, rgb, input_depth=None, train=True):
         x5p, skips = self.core.encode(rgb, train)
-        if input_depth is not None:
+        if input_depth is not None and self.use_film:
             d, mask = sparsify_depth(input_depth)
-            H = d.shape[1]
-            Hw = (int(H * self.san_row_window) // 32 * 32
-                  if self.san_row_window > 0 else 0)
-            crop = 0 < Hw < H and H % 32 == 0
+            crop, s, Hw = self._crop_state(mask)
             if crop:
-                s, dropped = active_row_window(mask, Hw)
-                self.sow('intermediates', 'san_dropped', dropped)
+                d = crop_rows(d, s, Hw)
+                mask = crop_rows(mask, s, Hw)
+            fused = []
+            stage = 0  # sparse stages advance only through film scales
+            for i, feat in enumerate(skips + [x5p]):
+                if i not in tuple(self.film_scales):
+                    fused.append(feat)
+                    continue
+                lvl_h = max(feat.shape[1] // 2, 1)  # sparse res = skip/2
+                denom = float(lvl_h * max(feat.shape[2] // 2, 1)) \
+                    if crop else None
+                d, mask, gamma, beta = self.mconvs(
+                    stage, d, mask, train, pool_denom=denom)
+                sp = (paste_rows(d, s // (2 ** (stage + 1)), lvl_h)
+                      if crop else d)
+                sp = upsample2x_nearest(sp)
+                if sp.shape[1:3] != feat.shape[1:3]:
+                    sp = sp[:, :feat.shape[1], :feat.shape[2]]
+                stage += 1
+                modulated = gamma * feat + beta
+                w = self.weight[i]
+                fused.append(w * modulated + (1.0 - w) * sp + self.bias[i])
+            skips, x5p = fused[:5], fused[5]
+        elif input_depth is not None:
+            d, mask = sparsify_depth(input_depth)
+            crop, s, Hw = self._crop_state(mask)
+            if crop:
                 d = crop_rows(d, s, Hw)
                 mask = crop_rows(mask, s, Hw)
             fused = [skips[0]]
@@ -206,7 +271,10 @@ class _PackNetSANBase(nn.Module):
                 fused.append(feat * self.weight[i] + sp + self.bias[i])
             skips, x5p = fused[:5], fused[5]
         inv_depths = self.core.decode(x5p, skips, train)
-        return inv_depths, skips[1:] + [x5p]
+        # consistency-loss features: slim-FiLM covers all 6 skips
+        # (PackNetSlimSAN01.py:250), the plain variant the 5 fused ones
+        feats = (skips + [x5p]) if self.use_film else (skips[1:] + [x5p])
+        return inv_depths, feats
 
     def __call__(self, rgb, input_depth=None, train=True, **kwargs):
         if not train:
@@ -232,5 +300,6 @@ class PackNetSAN01(_PackNetSANBase):
 
 
 class PackNetSlimSAN01(_PackNetSANBase):
-    """Slim PackNet-SAN (reference: PackNetSlimSAN01.py:11-281)."""
-    pass
+    """Slim PackNet-SAN with depth-aware FiLM on by default
+    (reference: PackNetSlimSAN01.py:16 — use_film=True, film_scales=[0,1])."""
+    use_film: bool = True

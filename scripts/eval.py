@@ -22,6 +22,8 @@ def parse_args():
     parser.add_argument('--int8', action='store_true',
                         help='fake-quantize outputs to uint8: measures the '
                              'INT8/NPU output-quantization metric cost')
+    parser.add_argument('--device', default='default',
+                        choices=['default', 'cpu'], help="'cpu' forces the host CPU backend before jax initializes (the TPU plugin overrides JAX_PLATFORMS; backend init blocks while the device tunnel is down)")
     return parser.parse_args()
 
 
@@ -46,4 +48,7 @@ def test(ckpt_file, cfg_file=None, half=False, int8=False):
 
 if __name__ == '__main__':
     args = parse_args()
+    if args.device == 'cpu':
+        from packnet_sfm_tpu.utils.hostjax import force_cpu
+        force_cpu()
     test(args.checkpoint, args.config, args.half, args.int8)

@@ -26,6 +26,8 @@ def parse_args():
                         default=['npz', 'viz'], choices=['npz', 'png', 'viz'])
     parser.add_argument('--mask', type=str, default=None,
                         help='optional binary mask multiplied into the input')
+    parser.add_argument('--device', default='default',
+                        choices=['default', 'cpu'], help="'cpu' forces the host CPU backend before jax initializes (the TPU plugin overrides JAX_PLATFORMS; backend init blocks while the device tunnel is down)")
     return parser.parse_args()
 
 
@@ -93,5 +95,8 @@ def infer_and_save_depth(ckpt_file, input_path, output_path,
 
 if __name__ == '__main__':
     args = parse_args()
+    if args.device == 'cpu':
+        from packnet_sfm_tpu.utils.hostjax import force_cpu
+        force_cpu()
     infer_and_save_depth(args.checkpoint, args.input, args.output,
                          args.image_shape, args.save, args.mask)

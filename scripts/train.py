@@ -18,6 +18,9 @@ def parse_args():
                         help='YAML config or .ckpt checkpoint to resume')
     parser.add_argument('opts', nargs='*', default=[],
                         help='config overrides: key value ...')
+    parser.add_argument('--device', default='default',
+                        choices=['default', 'cpu'],
+                        help="'cpu' forces the host CPU backend before jax initializes (the TPU plugin on this platform overrides JAX_PLATFORMS, and backend init blocks while the device tunnel is down)")
     args = parser.parse_args()
     assert args.file.endswith(('.ckpt', '.yaml', '.yml')) or \
         os.path.isdir(args.file), \
@@ -41,6 +44,13 @@ def train(file, opts=None):
         logger.finish()
 
 
+def _apply_device(device):
+    if device == 'cpu':
+        from packnet_sfm_tpu.utils.hostjax import force_cpu
+        force_cpu()
+
+
 if __name__ == '__main__':
     args = parse_args()
+    _apply_device(args.device)
     train(args.file, args.opts)

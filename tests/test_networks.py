@@ -154,6 +154,55 @@ def test_packnet_san(rgb, sparse_depth):
     assert 'inv_depths_rgbd' in out and 'depth_loss' in out
 
 
+def test_packnet_slim_san_film(rgb, sparse_depth):
+    """Slim-SAN FiLM mode: 6-scale fusion incl. the full-res pre_calc skip,
+    gates init 0.5, FiLM generators on the film scales only, the sparse
+    branch descending exactly len(film_scales) stages (reference:
+    PackNetSlimSAN01.py:16,90-196)."""
+    from packnet_sfm_tpu.networks import PackNetSlimSAN01
+    net = PackNetSlimSAN01(version='1A', use_film=True, film_scales=(0, 1))
+    variables = net.init({'params': jax.random.PRNGKey(0)}, rgb,
+                         sparse_depth, train=True)
+    p = variables['params']
+    assert p['weight'].shape == (6,)
+    assert np.allclose(np.asarray(p['weight']), 0.5)
+    assert {'film_0', 'film_1'} <= set(p['mconvs'].keys())
+    out, _ = net.apply(variables, rgb, sparse_depth, train=True,
+                       mutable=['batch_stats'])
+    assert 'inv_depths_rgbd' in out and 'depth_loss' in out
+    assert out['inv_depths'][0].shape == (B, H, W, 1)
+    assert np.isfinite(float(out['depth_loss']))
+    # slim defaults FiLM ON (reference PackNetSlimSAN01.py:16); the plain
+    # 5-gate fusion needs an explicit opt-out
+    assert PackNetSlimSAN01(version='1A').use_film
+    plain = PackNetSlimSAN01(version='1A', use_film=False)
+    v2 = plain.init({'params': jax.random.PRNGKey(0)}, rgb, sparse_depth,
+                    train=True)
+    assert v2['params']['weight'].shape == (5,)
+
+
+def test_packnet_slim_san_film_grads_finite(rgb, sparse_depth):
+    from packnet_sfm_tpu.networks import PackNetSlimSAN01
+    net = PackNetSlimSAN01(version='1A', use_film=True, film_scales=(0, 1))
+    variables = net.init({'params': jax.random.PRNGKey(0)}, rgb,
+                         sparse_depth, train=True)
+
+    def loss_fn(params):
+        out, _ = net.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            rgb, sparse_depth, train=True, mutable=['batch_stats'])
+        return (sum(jnp.mean(x) for x in out['inv_depths_rgbd'])
+                + out['depth_loss'])
+
+    grads = jax.grad(loss_fn)(variables['params'])
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # FiLM generator gradients flow
+    gf = grads['mconvs']['film_0']
+    assert any(float(jnp.abs(x).max()) > 0
+               for x in jax.tree_util.tree_leaves(gf))
+
+
 def test_posenet(rgb):
     ctx = [rgb, rgb]
     net = PoseNet(nb_ref_imgs=2)
