@@ -143,9 +143,38 @@ def _rand_batch(rng, B, H, W, lidar=True, contexts=0):
     return batch
 
 
+def _probe_backend(timeout=600):
+    """Fail fast (clear message, nonzero exit) when the device backend
+    cannot initialize — with the TPU tunnel down, in-process jax init
+    blocks INDEFINITELY, which reads as a silent bench hang."""
+    import os
+    import subprocess
+    import sys
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-c',
+             'import jax; d = jax.devices(); print(d[0].platform, len(d))'],
+            capture_output=True, text=True, timeout=timeout,
+            env=dict(os.environ))
+        if proc.returncode == 0:
+            print('[bench] backend: ' + proc.stdout.strip().splitlines()[-1],
+                  file=sys.stderr)
+            return True
+        err = proc.stderr.strip().splitlines()
+        reason = err[-1] if err else 'backend init failed'
+    except subprocess.TimeoutExpired:
+        reason = 'backend init timed out after {}s (TPU tunnel down?)'.format(
+            timeout)
+    print(json.dumps({'metric': 'bench_error', 'value': 0, 'unit': 'error',
+                      'vs_baseline': 0.0, 'reason': reason}))
+    return False
+
+
 def main():
     import jax
     import os
+    if not _probe_backend():
+        return 1
     # repo-local persistent cache: tunnel compiles of the two workloads are
     # minutes-scale (measured 20+ min on a cold, loaded tunnel) and /tmp
     # does not survive VM restarts — the repo does.
