@@ -429,3 +429,45 @@ def test_video_projection(tmp_path):
     panel = np.asarray(Image.open(tmp_path / 'panels' / 'fr_000.png'))
     assert panel.shape == (96, 256, 3)  # two side-by-side panels
     assert (tmp_path / 'seq.mp4').stat().st_size > 0
+
+
+def test_offline_vadas_projection_golden():
+    """vadas_project_offline against an independent scalar re-derivation of
+    the offline camera math (reference:
+    scripts/refrence_code/integrated_pcd_depth_pipeline_newest.py:398-425)
+    and rodrigues_to_mat against cv2.Rodrigues."""
+    import math
+    sys.path.insert(0, os.path.join(REPO, 'scripts', 'data_processing'))
+    from project_lidar_ncdb import rodrigues_to_mat, vadas_project_offline
+
+    intr = np.array([-0.0004, 1.0136, -0.0623, 0.2852, -0.332, 0.1896,
+                     -0.0391, 1.0447, 0.0021, 44.9516, 2.48822], np.float64)
+    rng = np.random.RandomState(0)
+    cam = rng.randn(200, 3) * np.array([5.0, 3.0, 2.0]) + \
+        np.array([6.0, 0.0, 0.0])  # mostly in front (+X forward)
+    W, H = 1920, 1536
+    u, v, z, valid = vadas_project_offline(cam, intr, W, H)
+
+    k, s, div, ux, uy = intr[:7], intr[7], intr[8], intr[9], intr[10]
+    n_checked = 0
+    for i in range(cam.shape[0]):
+        Xc, Yc, Zc = cam[i]
+        nx, ny = -Yc, -Zc
+        dist = max(math.hypot(nx, ny), 1e-12)
+        theta = math.atan2(dist, Xc)
+        xd = theta * s
+        rd = sum(float(k[j]) * xd ** j for j in range(7)) / div
+        ue = rd * (nx / dist) + ux + W / 2
+        ve = rd * (ny / dist) + uy + H / 2
+        inside = Xc > 0 and 0 <= round(ue) < W and 0 <= round(ve) < H
+        assert bool(valid[i]) == inside
+        if inside:
+            assert u[i] == round(ue) and v[i] == round(ve)
+            assert abs(z[i] - Xc) < 1e-9
+            n_checked += 1
+    assert n_checked > 50  # the scene layout keeps most points projectable
+
+    import cv2
+    rvec = np.array([0.00100918, -0.236104, -0.0219886])
+    R_cv, _ = cv2.Rodrigues(rvec)
+    assert np.allclose(rodrigues_to_mat(rvec), R_cv, atol=1e-12)
