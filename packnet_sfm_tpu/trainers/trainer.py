@@ -448,7 +448,43 @@ class Trainer:
         loader = loader or self._make_loader('test')
         if loader is None:
             return {}
-        return self.validate(loader)
+        metrics = self.validate(loader)
+        if self.config.save.folder and rank() == 0:
+            self._save_eval_outputs(loader)
+        return metrics
+
+    def _save_eval_outputs(self, loader):
+        """cfg.save-driven per-sample dump pass (reference: utils/save.py
+        save_depth called from the eval loop): a second sweep over the
+        loader writing <folder>/depth/<dataset>/<ckpt>/<name>_{depth.npz,
+        depth.png,rgb.png,viz.png} per save.depth flags."""
+        from packnet_sfm_tpu.ops.depth import dual_head_to_depth
+        from packnet_sfm_tpu.utils.save import save_depth
+
+        ckpt_name = os.path.basename(
+            self.config.save.get('pretrained', '') or
+            self.config.checkpoint.filepath or '').replace(
+            '{', '').replace('}', '').replace(':', '') or 'model'
+        ds_cfg = self.config.datasets.test \
+            if self.config.datasets.test.get('dataset') else \
+            self.config.datasets.validation
+        total = 0
+        for batch in loader:
+            dev = _to_device_batch(batch, self.mesh)
+            out = self.eval_step(self.state, dev)
+            if 'inv_depths' in out:
+                inv = np.asarray(out['inv_depths'][0])
+            elif ('integer', 0) in out:
+                depth = dual_head_to_depth(
+                    out[('integer', 0)], out[('fractional', 0)],
+                    self.config.model.params.max_depth or 80.0)
+                inv = 1.0 / np.maximum(np.asarray(depth), 1e-6)
+            else:
+                continue
+            total += save_depth(batch, inv, self.config.save, ds_cfg,
+                                ckpt_name=ckpt_name)
+        print(pcolor('saved {} eval outputs -> {}'.format(
+            total, self.config.save.folder), 'cyan'))
 
     # --------------------------------------------------------------- helpers
     def _maybe_switch_precision(self, epoch):

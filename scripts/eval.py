@@ -22,16 +22,24 @@ def parse_args():
     parser.add_argument('--int8', action='store_true',
                         help='fake-quantize outputs to uint8: measures the '
                              'INT8/NPU output-quantization metric cost')
+    parser.add_argument('--save_folder', default='',
+                        help='dump per-sample outputs (depth npz/png, rgb, '
+                             'viz) under this folder, per cfg.save.depth '
+                             'flags (reference: utils/save.py)')
     parser.add_argument('--device', default='default',
                         choices=['default', 'cpu'], help="'cpu' forces the host CPU backend before jax initializes (the TPU plugin overrides JAX_PLATFORMS; backend init blocks while the device tunnel is down)")
     return parser.parse_args()
 
 
-def test(ckpt_file, cfg_file=None, half=False, int8=False):
+def test(ckpt_file, cfg_file=None, half=False, int8=False,
+         save_folder=''):
     from packnet_sfm_tpu.config import parse_test_file
     from packnet_sfm_tpu.trainers.trainer import Trainer
 
     config, state = parse_test_file(ckpt_file, cfg_file)
+    if save_folder:
+        config.save.folder = save_folder
+        config.save.pretrained = ckpt_file
     if half:
         config.tpu.compute_dtype = 'bfloat16'
     if int8:
@@ -51,4 +59,5 @@ if __name__ == '__main__':
     if args.device == 'cpu':
         from packnet_sfm_tpu.utils.hostjax import force_cpu
         force_cpu()
-    test(args.checkpoint, args.config, args.half, args.int8)
+    test(args.checkpoint, args.config, args.half, args.int8,
+         args.save_folder)

@@ -58,3 +58,27 @@ def test_resume_training_from_checkpoint(trained_ckpt):
     trainer = Trainer(config, resume_state=state)
     trainer.fit()
     assert int(trainer.current_epoch) == 1
+
+
+def test_eval_save_outputs(trained_ckpt, tmp_path):
+    """cfg.save-driven eval dump (reference: utils/save.py save_depth):
+    test() writes <folder>/depth/<dataset>/<ckpt>/<name>_{depth.npz,
+    depth.png,rgb.png,viz.png} per save.depth flags."""
+    import glob
+    config, state = parse_test_file(trained_ckpt)
+    config.datasets.test = config.datasets.validation.clone()
+    config.save.folder = str(tmp_path / 'dumps')
+    trainer = Trainer(config, resume_state=state)
+    loader = trainer._make_loader('test')
+    first = next(iter(loader))
+    trainer._steps_per_epoch = 1
+    trainer.setup(_to_device_batch(first, trainer.mesh))
+    trainer.test(loader)
+    npzs = glob.glob(str(tmp_path / 'dumps' / 'depth' / '**' / '*_depth.npz'),
+                     recursive=True)
+    assert npzs, 'no npz dumps written'
+    stem = npzs[0][:-len('_depth.npz')]
+    for suffix in ('_depth.png', '_rgb.png', '_viz.png'):
+        assert os.path.exists(stem + suffix), suffix
+    d = np.load(npzs[0])['depth']
+    assert d.ndim == 2 and np.isfinite(d).all() and (d > 0).all()
