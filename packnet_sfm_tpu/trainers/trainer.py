@@ -87,7 +87,11 @@ class Trainer:
         self.state = None
 
     # ------------------------------------------------------------------ data
-    def _make_loader(self, split):
+    def _make_loader(self, split, dataset_idx=None):
+        """Loader for a split; `dataset_idx` selects ONE dataset of a
+        multi-dataset split instead of concatenating them (per-dataset
+        validation, reference: horovod_trainer.py evaluates each val
+        dataset separately)."""
         cfg = self.config.datasets[split]
         aug_cfg = self.config.datasets.augmentation
         if self.config.tpu.get('device_augment', False):
@@ -96,6 +100,8 @@ class Trainer:
         datasets = setup_dataset(cfg, aug_cfg, split)
         if not datasets:
             return None
+        if dataset_idx is not None:
+            datasets = [datasets[dataset_idx]]
         from packnet_sfm_tpu.datasets.concat import ConcatDataset
         repeats = cfg.get('repeat', [1] * len(datasets))
         ds = ConcatDataset(datasets, repeats) if len(datasets) > 1 or \
@@ -207,7 +213,10 @@ class Trainer:
     # ------------------------------------------------------------------- fit
     def fit(self):
         train_loader = self._make_loader('train')
-        val_loader = self._make_loader('validation')
+        val_loaders = self._make_val_loaders()
+        mon = int(self.config.checkpoint.get('monitor_index', 0))
+        val_loader = val_loaders[min(mon, len(val_loaders) - 1)][1] \
+            if val_loaders else None
         assert train_loader is not None, 'No training dataset configured'
         self._steps_per_epoch = len(train_loader)
 
@@ -215,8 +224,8 @@ class Trainer:
         example = _to_device_batch(first, self.mesh)
         self.setup(example)
 
-        if self.validate_first and val_loader is not None:
-            self.validate(val_loader)
+        if self.validate_first and val_loaders:
+            self.validate_multi(val_loaders)
 
         resume_loader = (self.resume_state or {}).get('loader')
         for epoch in range(self.current_epoch, self.max_epochs):
@@ -237,8 +246,8 @@ class Trainer:
                     epoch, train_metrics.get('loss', float('nan')),
                     n_img / max(dt, 1e-6)), 'green'))
             val_metrics = {}
-            if val_loader is not None:
-                val_metrics = self.validate(val_loader)
+            if val_loaders:
+                val_metrics = self.validate_multi(val_loaders)
                 self._dump_eval_json(epoch, val_metrics)
             if self.logger is not None:
                 self.logger.log_metrics(
@@ -410,7 +419,7 @@ class Trainer:
                     use_gt_scale=True)
         return modes
 
-    def validate(self, loader):
+    def validate(self, loader, title=''):
         import os
         accum, count = {}, 0
         # the jitted full-protocol step; debug env flags need concrete
@@ -435,14 +444,47 @@ class Trainer:
         if not count:
             return {}
         table = {k: v / count for k, v in accum.items()}
-        print_metrics_table('Validation epoch {}'.format(self.current_epoch),
-                            table)
+        print_metrics_table('Validation epoch {}{}'.format(
+            self.current_epoch, ' — ' + title if title else ''), table)
         flat = {}
         for mode, vals in table.items():
             for name, val in zip(METRIC_NAMES, vals):
                 flat['{}-{}'.format(mode, name)] = float(val)
         flat['abs_rel'] = flat.get('depth-abs_rel', 0.0)
         return flat
+
+    def _make_val_loaders(self):
+        """One loader per validation dataset entry (reference validates
+        each separately and the checkpoint monitors
+        checkpoint.monitor_index's metrics, utils/config.py:91,244)."""
+        cfg = self.config.datasets.validation
+        names = list(cfg.get('dataset', []))
+        if len(names) <= 1:
+            loader = self._make_loader('validation')
+            return [] if loader is None else [('', loader)]
+        from packnet_sfm_tpu.utils.save import prepare_dataset_prefix
+        loaders = []
+        for i in range(len(names)):
+            prefix = '{}-{}'.format(i, prepare_dataset_prefix(cfg, i))
+            loaders.append((prefix, self._make_loader('validation', i)))
+        return loaders
+
+    def validate_multi(self, val_loaders):
+        """Validate each dataset separately; flat metrics are prefixed
+        per dataset, and the monitor_index dataset's metrics are ALSO
+        published unprefixed so checkpoint monitoring and eval JSON keys
+        stay stable for single-dataset configs."""
+        if len(val_loaders) == 1 and not val_loaders[0][0]:
+            return self.validate(val_loaders[0][1])
+        mon = int(self.config.checkpoint.get('monitor_index', 0))
+        combined = {}
+        for i, (prefix, loader) in enumerate(val_loaders):
+            flat = self.validate(loader, title=prefix)
+            combined.update({'{}/{}'.format(prefix, k): v
+                             for k, v in flat.items()})
+            if i == min(mon, len(val_loaders) - 1):
+                combined.update(flat)
+        return combined
 
     def test(self, loader=None):
         loader = loader or self._make_loader('test')

@@ -83,3 +83,33 @@ def test_precision_switch_keeps_augment_and_static_progress():
     trainer.fit()                                # raises before the fix
     assert trainer._precision_switched
     assert trainer._augment_fn is not None
+
+
+def test_multi_dataset_validation(capsys):
+    """Two validation datasets validate SEPARATELY: per-dataset prefixed
+    metrics plus the monitor_index dataset's metrics unprefixed (reference:
+    horovod_trainer per-dataset eval; checkpoint.monitor_index,
+    utils/config.py:91,244)."""
+    cfg = parse_train_config('configs/overfit_synthetic.yaml')
+    cfg.arch.max_epochs = 1
+    cfg.datasets.validation.dataset = ['Synthetic', 'Synthetic']
+    cfg.datasets.validation.path = ['', '']
+    cfg.datasets.validation.split = ['4', '6']
+    cfg.datasets.validation.input_depth_type = ['', 'sparse']
+    cfg.checkpoint.monitor_index = 1
+    trainer = Trainer(cfg)
+    val_loaders = trainer._make_val_loaders()
+    assert len(val_loaders) == 2
+    assert val_loaders[0][0] != val_loaders[1][0]  # distinct prefixes
+    first = next(iter(val_loaders[0][1]))
+    trainer._steps_per_epoch = 4
+    trainer.setup(_to_device_batch(first, trainer.mesh))
+    metrics = trainer.validate_multi(val_loaders)
+    p0, p1 = val_loaders[0][0], val_loaders[1][0]
+    assert '{}/depth-abs_rel'.format(p0) in metrics
+    assert '{}/depth-abs_rel'.format(p1) in metrics
+    # unprefixed keys mirror the monitored dataset (index 1)
+    assert metrics['depth-abs_rel'] == metrics[
+        '{}/depth-abs_rel'.format(p1)]
+    out = capsys.readouterr().out
+    assert out.count('Validation epoch') == 2
