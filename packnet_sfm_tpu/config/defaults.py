@@ -237,7 +237,8 @@ def get_cfg_defaults():
     cfg.tpu.mesh_shape = ()          # e.g. (8,) for 8-way data parallelism; () = all devices
     cfg.tpu.mesh_axes = ('data',)    # mesh axis names
     cfg.tpu.compute_dtype = 'float32'  # conv compute dtype ('bfloat16' on pods)
-    cfg.tpu.loss_dtype = 'float32'     # loss/geometry fp32 islands
+    # (losses/geometry always run fp32 islands; photometric_dtype is the
+    # one measured knob — BENCH_NOTES.md precision table)
     cfg.tpu.photometric_dtype = 'float32'  # 'bfloat16' = 2.74x self-sup step
     # With bf16 photometric: switch to fp32 at this training-progress
     # fraction for final-quality convergence (-1 = never switch).
