@@ -14,12 +14,18 @@ def setup_loggers(config):
     if jax.process_index() != 0:
         return None
     if not config.wandb.get('dry_run', True):
-        return WandbLogger(
+        logger = WandbLogger(
             name=config.wandb.name or config.name,
             project=config.wandb.project, entity=config.wandb.entity,
             tags=list(config.wandb.tags), dir=config.wandb.dir,
             config=config.to_dict(),
             mode=config.wandb.get('mode', ''))
+        # stamp run identity into the config (checkpoints embed it —
+        # reference: horovod_trainer.py:54-56)
+        if logger.run_name:
+            config.wandb.name = logger.run_name
+            config.wandb.url = logger.run_url or ''
+        return logger
     if not config.tensorboard.get('dry_run', True):
         return TensorboardLogger(
             log_dir=config.tensorboard.log_dir or 'runs',

@@ -23,6 +23,20 @@ class WandbLogger:
             self.run = None
             self._wandb = None
 
+    @property
+    def run_name(self):
+        return self.run.name if self.run is not None else None
+
+    @property
+    def run_url(self):
+        """Run URL, recorded into cfg.wandb.url so checkpointed configs
+        carry run identity (reference: horovod_trainer.py:54-56,
+        wandb_logger.py:107-111)."""
+        if self.run is None:
+            return None
+        return 'https://app.wandb.ai/{}/{}/runs/{}'.format(
+            self.run.entity, self.run.project, self.run.id)
+
     def log_metrics(self, metrics, step=None):
         if self.run is not None:
             self.run.log({k: float(v) for k, v in metrics.items()
