@@ -453,20 +453,20 @@ class Trainer:
         flat['abs_rel'] = flat.get('depth-abs_rel', 0.0)
         return flat
 
-    def _make_val_loaders(self):
-        """One loader per validation dataset entry (reference validates
-        each separately and the checkpoint monitors
+    def _make_val_loaders(self, split='validation'):
+        """One loader per dataset entry of an eval split (reference
+        validates each separately and the checkpoint monitors
         checkpoint.monitor_index's metrics, utils/config.py:91,244)."""
-        cfg = self.config.datasets.validation
+        cfg = self.config.datasets[split]
         names = list(cfg.get('dataset', []))
         if len(names) <= 1:
-            loader = self._make_loader('validation')
+            loader = self._make_loader(split)
             return [] if loader is None else [('', loader)]
         from packnet_sfm_tpu.utils.save import prepare_dataset_prefix
         loaders = []
         for i in range(len(names)):
             prefix = '{}-{}'.format(i, prepare_dataset_prefix(cfg, i))
-            loaders.append((prefix, self._make_loader('validation', i)))
+            loaders.append((prefix, self._make_loader(split, i)))
         return loaders
 
     def validate_multi(self, val_loaders):
@@ -487,12 +487,16 @@ class Trainer:
         return combined
 
     def test(self, loader=None):
-        loader = loader or self._make_loader('test')
-        if loader is None:
+        if loader is not None:
+            loaders = [('', loader)]
+        else:
+            loaders = self._make_val_loaders('test')
+        if not loaders:
             return {}
-        metrics = self.validate(loader)
+        metrics = self.validate_multi(loaders)
         if self.config.save.folder and rank() == 0:
-            self._save_eval_outputs(loader)
+            for _, ld in loaders:
+                self._save_eval_outputs(ld)
         return metrics
 
     def _save_eval_outputs(self, loader):
