@@ -20,6 +20,8 @@ def parse_args():
     p.add_argument('--config', default=None)
     p.add_argument('--split', choices=['val', 'test'], default='test')
     p.add_argument('--half', action='store_true')
+    p.add_argument('--device', default='default',
+                   choices=['default', 'cpu'], help="'cpu' forces the host CPU backend before jax initializes (the TPU plugin overrides JAX_PLATFORMS; backend init blocks while the device tunnel is down)")
     return p.parse_args()
 
 
@@ -43,4 +45,7 @@ def evaluate(ckpt, cfg_file=None, split='test', half=False):
 
 if __name__ == '__main__':
     args = parse_args()
+    if args.device == 'cpu':
+        from packnet_sfm_tpu.utils.hostjax import force_cpu
+        force_cpu()
     evaluate(args.checkpoint, args.config, args.split, args.half)

@@ -25,6 +25,8 @@ def parse_args():
     p.add_argument('--image_shape', type=int, nargs=2, default=[384, 640])
     p.add_argument('--save', nargs='+', default=['npz', 'viz'],
                    choices=['npz', 'png', 'viz'])
+    p.add_argument('--device', default='default',
+                   choices=['default', 'cpu'], help="'cpu' forces the host CPU backend before jax initializes (the TPU plugin overrides JAX_PLATFORMS; backend init blocks while the device tunnel is down)")
     return p.parse_args()
 
 
