@@ -39,13 +39,14 @@ def make_batch(B, H, W, rng, contexts=0, lidar=True):
     return batch
 
 
-def build(name, selfsup, use_film=True, dtype='bfloat16'):
+def build(name, selfsup, use_film=True, dtype='bfloat16',
+          depth_net='ResNetSAN01', version='18A'):
     from packnet_sfm_tpu.config import get_cfg_defaults
     from packnet_sfm_tpu.models import setup_model
     cfg = get_cfg_defaults()
     cfg.model.name = 'SemiSupCompletionModel'
-    cfg.model.depth_net.name = 'ResNetSAN01'
-    cfg.model.depth_net.version = '18A'
+    cfg.model.depth_net.name = depth_net
+    cfg.model.depth_net.version = version
     cfg.model.depth_net.use_film = use_film
     cfg.model.pose_net.name = 'PoseNet' if selfsup else ''
     cfg.model.params.min_depth = 0.5
@@ -130,6 +131,16 @@ def main():
     dt = time_train(cfg, model, make_batch(4, 192, 640, rng, contexts=2),
                     args.iters)
     results['train_selfsup_img_per_s'] = 4 / dt
+
+    # 2b. PackNet family (depthwise CONV3D impl) + slim-SAN FiLM
+    cfg, model = build('packnet', selfsup=False,
+                       depth_net='PackNet01', version='1A')
+    dt = time_train(cfg, model, make_batch(8, 192, 640, rng), args.iters)
+    results['train_packnet01_img_per_s'] = 8 / dt
+    cfg, model = build('slim_film', selfsup=False,
+                       depth_net='PackNetSlimSAN01', version='1A')
+    dt = time_train(cfg, model, make_batch(8, 192, 640, rng), args.iters)
+    results['train_slim_san_film_img_per_s'] = 8 / dt
 
     # 3. eval FPS at 640x384 (reference headline resolution), batch 1
     cfg, model = build('eval', selfsup=False)
