@@ -116,6 +116,9 @@ def get_cfg_defaults():
     cfg.model.optimizer.pose = CN()
     cfg.model.optimizer.pose.lr = 0.0002
     cfg.model.optimizer.pose.weight_decay = 0.0
+    # TPU-native addition: average grads over k micro-batches, apply once
+    # (optax.MultiSteps) — effective batch k*batch_size beyond HBM limits
+    cfg.model.optimizer.grad_accumulation_steps = 1
 
     cfg.model.scheduler = CN()
     cfg.model.scheduler.name = 'StepLR'

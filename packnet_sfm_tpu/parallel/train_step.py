@@ -76,6 +76,10 @@ def make_optimizer(optimizer_cfg, scheduler_cfg, steps_per_epoch,
     name = optimizer_cfg.get('name', 'Adam')
     depth_cfg = optimizer_cfg.get('depth', {})
     pose_cfg = optimizer_cfg.get('pose', {})
+    accum = int(optimizer_cfg.get('grad_accumulation_steps', 1) or 1)
+    if accum > 1:
+        # inner schedules tick once per APPLIED step under MultiSteps
+        steps_per_epoch = max(1, steps_per_epoch // accum)
 
     depth_tx = _base_optimizer(
         name, make_lr_schedule(scheduler_cfg, float(depth_cfg.get('lr', 2e-4)),
@@ -92,6 +96,14 @@ def make_optimizer(optimizer_cfg, scheduler_cfg, steps_per_epoch,
     tx = optax.multi_transform({'depth': depth_tx, 'pose': pose_tx}, label_fn)
     if clip_grad and clip_grad > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip_grad), tx)
+    if accum > 1:
+        # Large effective batches beyond HBM: average gradients over k
+        # micro-steps, apply once (TPU-native addition — the whole
+        # accumulate/apply cycle stays inside the jitted step sequence;
+        # the inner schedule ticks per APPLIED step, so epoch-based
+        # schedules keep their meaning when steps_per_epoch counts
+        # micro-steps divided by k at the call site).
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx
 
 

@@ -136,3 +136,61 @@ def test_progressive_scaling_trains_with_static_progress():
     for progress in [0.0, 0.35, 0.65, 0.95]:
         state, metrics = step(state, batch, jax.random.PRNGKey(1), progress)
         assert np.isfinite(float(metrics['loss'])), progress
+
+
+def test_grad_accumulation_matches_full_batch():
+    """optax.MultiSteps wiring: k identical micro-batches produce exactly
+    the update of one applied step with that gradient, and params are
+    frozen on the intermediate micro-steps (TPU-native addition —
+    model.optimizer.grad_accumulation_steps)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from packnet_sfm_tpu.config import get_cfg_defaults
+    from packnet_sfm_tpu.models import setup_model
+    from packnet_sfm_tpu.parallel.train_step import (
+        make_optimizer, make_train_step, init_state)
+
+    def build(accum):
+        cfg = get_cfg_defaults()
+        cfg.model.name = 'SemiSupCompletionModel'
+        cfg.model.depth_net.name = 'ResNetSAN01'
+        cfg.model.depth_net.version = '18A'
+        cfg.model.pose_net.name = ''
+        cfg.model.params.min_depth = 0.5
+        cfg.model.params.max_depth = 15.0
+        cfg.model.loss.supervised_method = 'sparse-l1'
+        cfg.model.loss.supervised_loss_weight = 1.0
+        cfg.model.optimizer.grad_accumulation_steps = accum
+        model = setup_model(cfg)
+        tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, 10)
+        return model, tx
+
+    rng = np.random.RandomState(0)
+    batch = {
+        'rgb': jnp.asarray(rng.rand(2, 64, 96, 3), jnp.float32),
+        'depth': jnp.asarray((rng.rand(2, 64, 96, 1) * 10 + 1) *
+                             (rng.rand(2, 64, 96, 1) < 0.3), jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+
+    model, tx1 = build(1)
+    state1 = init_state(model, tx1, batch, jax.random.PRNGKey(7))
+    step1 = make_train_step(model, tx1, donate=False)
+    state1, _ = step1(state1, batch, key, 0.0)
+
+    model2, tx2 = build(2)
+    state2 = init_state(model2, tx2, batch, jax.random.PRNGKey(7))
+    step2 = make_train_step(model2, tx2, donate=False)
+    mid, _ = step2(state2, batch, key, 0.0)
+    # first micro-step: gradients banked, params unchanged
+    assert np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(mid.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state2.params)[0]))
+    fin, _ = step2(mid, batch, key, 0.0)
+    # after k identical micro-batches the applied update equals the
+    # single-step update with that gradient
+    for a, b in zip(jax.tree_util.tree_leaves(fin.params),
+                    jax.tree_util.tree_leaves(state1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
