@@ -119,6 +119,10 @@ def get_cfg_defaults():
     # TPU-native addition: average grads over k micro-batches, apply once
     # (optax.MultiSteps) — effective batch k*batch_size beyond HBM limits
     cfg.model.optimizer.grad_accumulation_steps = 1
+    # TPU-native addition: parameter EMA (0 = off); eval/checkpointing use
+    # the averaged params when ema_eval is true
+    cfg.model.optimizer.ema_decay = 0.0
+    cfg.model.optimizer.ema_eval = True
 
     cfg.model.scheduler = CN()
     cfg.model.scheduler.name = 'StepLR'

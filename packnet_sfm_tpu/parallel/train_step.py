@@ -30,6 +30,9 @@ class TrainState:
     opt_state: Any
     step: jnp.ndarray
     epoch: jnp.ndarray
+    # exponential moving average of params (None = EMA off) — used for
+    # eval/checkpoint-best when model.optimizer.ema_decay > 0
+    ema_params: Any = None
 
 
 def make_lr_schedule(scheduler_cfg, base_lr, steps_per_epoch):
@@ -107,7 +110,7 @@ def make_optimizer(optimizer_cfg, scheduler_cfg, steps_per_epoch,
     return tx
 
 
-def init_state(model, optimizer, batch, rng):
+def init_state(model, optimizer, batch, rng, ema=False):
     """Initialize params/batch_stats/opt_state from an example batch."""
     rngs = {'params': rng, 'flip': jax.random.fold_in(rng, 1)}
     variables = model.init(rngs, batch, train=True)
@@ -116,11 +119,13 @@ def init_state(model, optimizer, batch, rng):
     opt_state = optimizer.init(params)
     return TrainState(params=params, batch_stats=batch_stats,
                       opt_state=opt_state, step=jnp.zeros((), jnp.int32),
-                      epoch=jnp.zeros((), jnp.int32))
+                      epoch=jnp.zeros((), jnp.int32),
+                      ema_params=jax.tree_util.tree_map(jnp.copy, params)
+                      if ema else None)
 
 
 def make_train_step(model, optimizer, mesh=None, donate=True,
-                    augment_fn=None, static_progress=False):
+                    augment_fn=None, static_progress=False, ema_decay=0.0):
     """
     Build the jitted train step:
         (state, batch, rng, progress) -> (state, metrics)
@@ -156,9 +161,16 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
             lambda n, o: jnp.where(ok, n, o), new_params, state.params)
         new_opt_state = jax.tree_util.tree_map(
             lambda n, o: jnp.where(ok, n, o), new_opt_state, state.opt_state)
+        new_ema = state.ema_params
+        if ema_decay > 0 and state.ema_params is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: jnp.where(ok, ema_decay * e
+                                       + (1.0 - ema_decay) * p, e),
+                state.ema_params, new_params)
         new_state = state.replace(params=new_params,
                                   batch_stats=new_stats,
                                   opt_state=new_opt_state,
+                                  ema_params=new_ema,
                                   step=state.step + 1)
         metrics = {'loss': loss, **metrics}
         return new_state, metrics

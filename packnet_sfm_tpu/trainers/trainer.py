@@ -145,7 +145,9 @@ class Trainer:
             self.config.model.optimizer, self.config.model.scheduler,
             steps_per_epoch, clip_grad=self.config.arch.clip_grad)
         rng = jax.random.PRNGKey(self.config.arch.seed)
-        self.state = init_state(self.model, self.optimizer, example_batch, rng)
+        ema_on = float(self.config.model.optimizer.get('ema_decay', 0.0)) > 0
+        self.state = init_state(self.model, self.optimizer, example_batch,
+                                rng, ema=ema_on)
         self._maybe_load_pretrained()
         if self.resume_state is not None:
             self.state = self.state.replace(
@@ -156,7 +158,17 @@ class Trainer:
                 opt_state=jax.tree_util.tree_map(
                     jnp.asarray, self.resume_state['opt_state']),
                 epoch=jnp.asarray(self.resume_state['epoch'], jnp.int32),
-                step=jnp.asarray(self.resume_state['step'], jnp.int32))
+                step=jnp.asarray(self.resume_state['step'], jnp.int32),
+                ema_params=jax.tree_util.tree_map(
+                    jnp.asarray,
+                    self.resume_state.get('ema_params') if
+                    self.resume_state.get('ema_params') is not None
+                    # EMA newly enabled on an older checkpoint: seed the
+                    # average from the resumed params
+                    else self.resume_state['params'])
+                if self.state.ema_params is not None or
+                self.resume_state.get('ema_params') is not None
+                else None)
             self.current_epoch = int(self.resume_state['epoch'])
         self.state = replicate_state(self.state, self.mesh)
         augment_fn = None
@@ -181,10 +193,20 @@ class Trainer:
             self.model, self.optimizer, mesh=self.mesh,
             donate=self.config.tpu.donate_buffers,
             augment_fn=self._augment_fn,
-            static_progress=self._progressive > 0.0)
+            static_progress=self._progressive > 0.0,
+            ema_decay=float(self.config.model.optimizer.get(
+                'ema_decay', 0.0)))
         self.eval_step = make_eval_step(self.model, mesh=self.mesh)
         self._metrics_step_cache = {}
         self._quick_eval_iter = None
+
+    def _eval_state(self):
+        """State used for evaluation: EMA params when enabled
+        (model.optimizer.ema_decay > 0 and ema_eval true)."""
+        if (self.state.ema_params is not None and
+                self.config.model.optimizer.get('ema_eval', True)):
+            return self.state.replace(params=self.state.ema_params)
+        return self.state
 
     def _get_metrics_step(self):
         """Jitted full-protocol eval-metrics step, cached per flip_tta
@@ -352,11 +374,11 @@ class Trainer:
                 it = None
                 break
             has_lidar = 'input_depth' in dev
-            m = metrics_step(self.state, dev)
+            m = metrics_step(self._eval_state(), dev)
             abs_rel_rgbd.append(m['depth'][0] if has_lidar else None)
             if has_lidar:
                 dev_rgb = {k: v for k, v in dev.items() if k != 'input_depth'}
-                m_rgb = metrics_step(self.state, dev_rgb)
+                m_rgb = metrics_step(self._eval_state(), dev_rgb)
                 abs_rel_rgb.append(m_rgb['depth'][0])
             else:
                 abs_rel_rgb.append(m['depth'][0])
@@ -390,7 +412,7 @@ class Trainer:
                 if 'input_depth' in batch:
                     flipped_batch['input_depth'] = flip_lr(
                         batch['input_depth'])
-                out_f = self.eval_step(self.state, flipped_batch)
+                out_f = self.eval_step(self._eval_state(), flipped_batch)
                 sig = post_process_inv_depth(sig, out_f['inv_depths'][0])
             maybe_log_disp_stats(sig)
             inv_lin = sigmoid_to_inv_depth(sig, params.min_depth,
@@ -433,9 +455,9 @@ class Trainer:
             if 'depth' not in dev:
                 continue
             if metrics_step is not None:
-                modes = metrics_step(self.state, dev)
+                modes = metrics_step(self._eval_state(), dev)
             else:
-                out = self.eval_step(self.state, dev)
+                out = self.eval_step(self._eval_state(), dev)
                 modes = self._metrics_for_output(out, dev)
             b = dev['rgb'].shape[0]
             for k, v in modes.items():
@@ -517,7 +539,7 @@ class Trainer:
         total = 0
         for batch in loader:
             dev = _to_device_batch(batch, self.mesh)
-            out = self.eval_step(self.state, dev)
+            out = self.eval_step(self._eval_state(), dev)
             if 'inv_depths' in out:
                 inv = np.asarray(out['inv_depths'][0])
             elif ('integer', 0) in out:

@@ -33,6 +33,8 @@ def save_checkpoint(path, config, state, epoch=None, extra=None):
         'batch_stats': _to_host(state.batch_stats),
         'opt_state': _to_host(state.opt_state),
     }
+    if getattr(state, 'ema_params', None) is not None:
+        payload['ema_params'] = _to_host(state.ema_params)
     if extra:
         payload.update(extra)
     tmp = path + '.tmp'

@@ -194,3 +194,58 @@ def test_grad_accumulation_matches_full_batch():
                     jax.tree_util.tree_leaves(state1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_ema_params_track_and_eval():
+    """Parameter EMA: ema_params converge toward params at the configured
+    decay, eval uses them when ema_eval is on, and checkpoints round-trip
+    the average (TPU-native addition — model.optimizer.ema_decay)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from packnet_sfm_tpu.config import get_cfg_defaults
+    from packnet_sfm_tpu.models import setup_model
+    from packnet_sfm_tpu.parallel.train_step import (
+        make_optimizer, make_train_step, init_state)
+    from packnet_sfm_tpu.utils.checkpoint import (
+        save_checkpoint, load_checkpoint)
+
+    cfg = get_cfg_defaults()
+    cfg.model.name = 'SemiSupCompletionModel'
+    cfg.model.depth_net.name = 'ResNetSAN01'
+    cfg.model.depth_net.version = '18A'
+    cfg.model.pose_net.name = ''
+    cfg.model.params.min_depth = 0.5
+    cfg.model.params.max_depth = 15.0
+    cfg.model.loss.supervised_method = 'sparse-l1'
+    cfg.model.loss.supervised_loss_weight = 1.0
+    cfg.model.optimizer.ema_decay = 0.9
+    model = setup_model(cfg)
+    tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, 10)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        'rgb': jnp.asarray(rng.rand(2, 64, 96, 3), jnp.float32),
+        'depth': jnp.asarray((rng.rand(2, 64, 96, 1) * 10 + 1) *
+                             (rng.rand(2, 64, 96, 1) < 0.3), jnp.float32),
+    }
+    state = init_state(model, tx, batch, jax.random.PRNGKey(0), ema=True)
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    step = make_train_step(model, tx, donate=False, ema_decay=0.9)
+    s1, _ = step(state, batch, jax.random.PRNGKey(1), 0.0)
+    # exact first-step EMA: 0.9 * p0 + 0.1 * p1
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    e1 = jax.tree_util.tree_leaves(s1.ema_params)[0]
+    np.testing.assert_allclose(np.asarray(e1),
+                               0.9 * np.asarray(p0) + 0.1 * np.asarray(p1),
+                               rtol=1e-6, atol=1e-7)
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, 'ema.ckpt')
+        save_checkpoint(path, cfg, s1)
+        payload = load_checkpoint(path)
+        assert 'ema_params' in payload
+        re = jax.tree_util.tree_leaves(payload['ema_params'])[0]
+        np.testing.assert_allclose(np.asarray(re), np.asarray(e1),
+                                   rtol=1e-6)
