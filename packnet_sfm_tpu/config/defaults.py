@@ -129,6 +129,9 @@ def get_cfg_defaults():
     cfg.model.scheduler.step_size = 10
     cfg.model.scheduler.gamma = 0.5
     cfg.model.scheduler.T_max = 20
+    # TPU-native addition: linear LR warmup over the first N epochs
+    # (fractional values work: 0.5 = half an epoch)
+    cfg.model.scheduler.warmup_epochs = 0.0
 
     cfg.model.params = CN()
     cfg.model.params.crop = 'garg'

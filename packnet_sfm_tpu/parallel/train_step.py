@@ -36,8 +36,22 @@ class TrainState:
 
 
 def make_lr_schedule(scheduler_cfg, base_lr, steps_per_epoch):
-    """Per-update-step schedule implementing epoch-wise StepLR / cosine."""
+    """Per-update-step schedule implementing epoch-wise StepLR / cosine,
+    with an optional linear warmup over the first warmup_epochs
+    (fractional ok — TPU-native addition; the reference has no warmup)."""
     name = scheduler_cfg.get('name', 'StepLR')
+    warmup_steps = int(float(scheduler_cfg.get('warmup_epochs', 0.0))
+                       * max(steps_per_epoch, 1))
+
+    def with_warmup(sched):
+        if warmup_steps <= 0:
+            return sched
+
+        def warmed(count):
+            ramp = jnp.minimum((count + 1) / warmup_steps, 1.0)
+            return ramp * sched(count)
+        return warmed
+
     if name == 'StepLR':
         step_size = int(scheduler_cfg.get('step_size', 10))
         gamma = float(scheduler_cfg.get('gamma', 0.5))
@@ -45,7 +59,7 @@ def make_lr_schedule(scheduler_cfg, base_lr, steps_per_epoch):
         def sched(count):
             epoch = count // max(steps_per_epoch, 1)
             return base_lr * gamma ** (epoch // step_size)
-        return sched
+        return with_warmup(sched)
     if name in ('CosineAnnealingLR', 'CosineAnnealing'):
         T_max = int(scheduler_cfg.get('T_max', 20))
 
@@ -53,8 +67,8 @@ def make_lr_schedule(scheduler_cfg, base_lr, steps_per_epoch):
             epoch = count // max(steps_per_epoch, 1)
             return base_lr * 0.5 * (1 + jnp.cos(
                 jnp.pi * jnp.minimum(epoch, T_max) / T_max))
-        return sched
-    return lambda count: base_lr
+        return with_warmup(sched)
+    return with_warmup(lambda count: base_lr)
 
 
 def _base_optimizer(name, lr_schedule, weight_decay):

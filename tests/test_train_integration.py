@@ -249,3 +249,28 @@ def test_ema_params_track_and_eval():
         re = jax.tree_util.tree_leaves(payload['ema_params'])[0]
         np.testing.assert_allclose(np.asarray(re), np.asarray(e1),
                                    rtol=1e-6)
+
+
+def test_lr_warmup_schedule():
+    """Linear warmup ramps the schedule over warmup_epochs*steps_per_epoch
+    steps, then hands over to the base schedule exactly."""
+    import numpy as np
+    from packnet_sfm_tpu.config import get_cfg_defaults
+    from packnet_sfm_tpu.parallel.train_step import make_lr_schedule
+
+    cfg = get_cfg_defaults().model.scheduler
+    cfg.name = 'StepLR'
+    cfg.step_size = 1
+    cfg.gamma = 0.5
+    cfg.warmup_epochs = 0.5          # 5 steps at 10 steps/epoch
+    sched = make_lr_schedule(cfg, 1e-3, steps_per_epoch=10)
+    lrs = [float(sched(i)) for i in range(12)]
+    np.testing.assert_allclose(lrs[0], 1e-3 / 5)          # ramp start
+    np.testing.assert_allclose(lrs[3], 1e-3 * 4 / 5)
+    np.testing.assert_allclose(lrs[4], 1e-3)              # ramp end
+    np.testing.assert_allclose(lrs[9], 1e-3)              # epoch 0 tail
+    np.testing.assert_allclose(lrs[10], 5e-4)             # StepLR decay
+
+    cfg.warmup_epochs = 0.0
+    sched0 = make_lr_schedule(cfg, 1e-3, steps_per_epoch=10)
+    assert float(sched0(0)) == 1e-3                       # no warmup default
