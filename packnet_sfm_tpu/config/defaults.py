@@ -247,6 +247,10 @@ def get_cfg_defaults():
     cfg.tpu.mesh_shape = ()          # e.g. (8,) for 8-way data parallelism; () = all devices
     cfg.tpu.mesh_axes = ('data',)    # mesh axis names
     cfg.tpu.compute_dtype = 'float32'  # conv compute dtype ('bfloat16' on pods)
+    # rematerialize the forward in backward (jax.checkpoint): ~1.3x FLOPs
+    # for a large peak-HBM cut — enables activation-bound configs (e.g.
+    # PackNet literal conv3d at bs8) that otherwise OOM
+    cfg.tpu.remat = False
     # (losses/geometry always run fp32 islands; photometric_dtype is the
     # one measured knob — BENCH_NOTES.md precision table)
     cfg.tpu.photometric_dtype = 'float32'  # 'bfloat16' = 2.74x self-sup step

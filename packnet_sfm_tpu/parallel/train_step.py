@@ -139,7 +139,8 @@ def init_state(model, optimizer, batch, rng, ema=False):
 
 
 def make_train_step(model, optimizer, mesh=None, donate=True,
-                    augment_fn=None, static_progress=False, ema_decay=0.0):
+                    augment_fn=None, static_progress=False, ema_decay=0.0,
+                    remat=False):
     """
     Build the jitted train step:
         (state, batch, rng, progress) -> (state, metrics)
@@ -149,13 +150,24 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
     update (the TPU analogue of the reference's anomaly guard,
     horovod_trainer.py:268-277, without host sync). `augment_fn(batch, key)`
     runs on-device inside the step (ops/augment.py).
+
+    `remat=True` wraps the forward in jax.checkpoint: the backward pass
+    recomputes activations instead of storing them — ~1.3x FLOPs for a
+    large cut in peak HBM (the lever for activation-bound OOMs like the
+    literal-conv3d PackNet at bs8; tpu.remat in the config).
     """
 
-    def loss_fn(params, batch_stats, batch, rng, progress, epoch):
-        out, mutated = model.apply(
+    def _forward(params, batch_stats, batch, rng, progress, epoch):
+        return model.apply(
             {'params': params, 'batch_stats': batch_stats},
             batch, train=True, progress=progress, epoch=epoch,
             rngs={'flip': rng}, mutable=['batch_stats'])
+
+    forward = jax.checkpoint(_forward) if remat else _forward
+
+    def loss_fn(params, batch_stats, batch, rng, progress, epoch):
+        out, mutated = forward(params, batch_stats, batch, rng, progress,
+                               epoch)
         return out['loss'], (mutated.get('batch_stats', batch_stats),
                              out['metrics'])
 

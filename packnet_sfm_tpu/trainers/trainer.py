@@ -195,7 +195,8 @@ class Trainer:
             augment_fn=self._augment_fn,
             static_progress=self._progressive > 0.0,
             ema_decay=float(self.config.model.optimizer.get(
-                'ema_decay', 0.0)))
+                'ema_decay', 0.0)),
+            remat=bool(self.config.tpu.get('remat', False)))
         self.eval_step = make_eval_step(self.model, mesh=self.mesh)
         self._metrics_step_cache = {}
         self._quick_eval_iter = None

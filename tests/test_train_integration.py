@@ -274,3 +274,46 @@ def test_lr_warmup_schedule():
     cfg.warmup_epochs = 0.0
     sched0 = make_lr_schedule(cfg, 1e-3, steps_per_epoch=10)
     assert float(sched0(0)) == 1e-3                       # no warmup default
+
+
+def test_remat_grads_exact():
+    """tpu.remat: jax.checkpoint-wrapped forward produces EXACTLY the same
+    loss and gradients (it only changes what the backward stores)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from packnet_sfm_tpu.config import get_cfg_defaults
+    from packnet_sfm_tpu.models import setup_model
+    from packnet_sfm_tpu.parallel.train_step import (
+        make_optimizer, make_train_step, init_state)
+
+    cfg = get_cfg_defaults()
+    cfg.model.name = 'SemiSupCompletionModel'
+    cfg.model.depth_net.name = 'ResNetSAN01'
+    cfg.model.depth_net.version = '18A'
+    cfg.model.pose_net.name = ''
+    cfg.model.params.min_depth = 0.5
+    cfg.model.params.max_depth = 15.0
+    cfg.model.loss.supervised_method = 'sparse-l1'
+    cfg.model.loss.supervised_loss_weight = 1.0
+    model = setup_model(cfg)
+    tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, 10)
+
+    rng = np.random.RandomState(3)
+    batch = {
+        'rgb': jnp.asarray(rng.rand(2, 64, 96, 3), jnp.float32),
+        'depth': jnp.asarray((rng.rand(2, 64, 96, 1) * 10 + 1) *
+                             (rng.rand(2, 64, 96, 1) < 0.3), jnp.float32),
+    }
+    state = init_state(model, tx, batch, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    s_plain, m_plain = make_train_step(model, tx, donate=False)(
+        state, batch, key, 0.0)
+    s_remat, m_remat = make_train_step(model, tx, donate=False, remat=True)(
+        state, batch, key, 0.0)
+    np.testing.assert_allclose(float(m_plain['loss']),
+                               float(m_remat['loss']), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_plain.params),
+                    jax.tree_util.tree_leaves(s_remat.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
