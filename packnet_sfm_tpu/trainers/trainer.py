@@ -518,11 +518,11 @@ class Trainer:
             return {}
         metrics = self.validate_multi(loaders)
         if self.config.save.folder and rank() == 0:
-            for _, ld in loaders:
-                self._save_eval_outputs(ld)
+            for i, (_, ld) in enumerate(loaders):
+                self._save_eval_outputs(ld, dataset_idx=i)
         return metrics
 
-    def _save_eval_outputs(self, loader):
+    def _save_eval_outputs(self, loader, dataset_idx=0):
         """cfg.save-driven per-sample dump pass (reference: utils/save.py
         save_depth called from the eval loop): a second sweep over the
         loader writing <folder>/depth/<dataset>/<ckpt>/<name>_{depth.npz,
@@ -551,7 +551,8 @@ class Trainer:
             else:
                 continue
             total += save_depth(batch, inv, self.config.save, ds_cfg,
-                                ckpt_name=ckpt_name)
+                                ckpt_name=ckpt_name,
+                                dataset_idx=dataset_idx)
         print(pcolor('saved {} eval outputs -> {}'.format(
             total, self.config.save.folder), 'cyan'))
 
