@@ -39,7 +39,8 @@ def infer_and_save_depth(ckpt_file, input_path, output_path,
     from packnet_sfm_tpu.models import setup_model
     from packnet_sfm_tpu.datasets.io import load_image, write_depth, write_image
     from packnet_sfm_tpu.datasets.transforms import resize_image
-    from packnet_sfm_tpu.ops.depth import sigmoid_to_inv_depth, inv2depth
+    from packnet_sfm_tpu.ops.depth import (
+        sigmoid_to_inv_depth, inv2depth, dual_head_to_depth)
     from packnet_sfm_tpu.utils.viz import viz_inv_depth
 
     config, state = parse_test_file(ckpt_file)
@@ -60,10 +61,14 @@ def infer_and_save_depth(ckpt_file, input_path, output_path,
         mask_img = (load_image(mask).mean(-1, keepdims=True) > 0
                     ).astype(np.float32)
 
+    dual = bool(config.model.depth_net.get('use_dual_head', False))
+
     @jax.jit
     def forward(rgb):
         out = model.apply({'params': params, 'batch_stats': batch_stats},
                           {'rgb': rgb}, train=False)
+        if dual:
+            return out[('integer', 0)], out[('fractional', 0)]
         return out['inv_depths'][0]
 
     params_cfg = config.model.params
@@ -76,12 +81,19 @@ def infer_and_save_depth(ckpt_file, input_path, output_path,
             if m.shape[:2] != rgb.shape[:2]:
                 m = resize_image(np.repeat(m, 3, -1), rgb.shape[:2])[..., :1]
             rgb = rgb * (m > 0)
-        sig = np.asarray(forward(jnp.asarray(rgb[None])))[0]
-        inv_depth = sigmoid_to_inv_depth(
-            jnp.asarray(sig), params_cfg.min_depth or 0.5,
-            params_cfg.max_depth or 80.0,
-            params_cfg.use_log_space)
-        depth = np.asarray(inv2depth(inv_depth))[..., 0]
+        out = forward(jnp.asarray(rgb[None]))
+        if dual:
+            integer, frac = out
+            depth = np.asarray(dual_head_to_depth(
+                integer, frac, params_cfg.max_depth or 80.0))[0, ..., 0]
+            inv_depth = 1.0 / np.maximum(depth[..., None], 1e-6)
+        else:
+            sig = np.asarray(out)[0]
+            inv_depth = sigmoid_to_inv_depth(
+                jnp.asarray(sig), params_cfg.min_depth or 0.5,
+                params_cfg.max_depth or 80.0,
+                params_cfg.use_log_space)
+            depth = np.asarray(inv2depth(inv_depth))[..., 0]
         base = os.path.splitext(os.path.basename(f))[0]
         if 'npz' in save:
             write_depth(os.path.join(output_path, base + '.npz'), depth)

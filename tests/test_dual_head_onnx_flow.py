@@ -203,3 +203,19 @@ def test_generate_torch_predictions_match(dual_head_ckpt, tmp_path):
             torch_out, 'f_{:02d}.npz'.format(i)))['depth']
         assert a.shape == b.shape
         assert np.abs(a - b).max() < 1e-2, np.abs(a - b).max()
+
+
+def test_infer_cli_dual_head(dual_head_ckpt, tmp_path):
+    """infer.py composes dual-head outputs into metric depth instead of
+    crashing on the missing 'inv_depths' key."""
+    from PIL import Image
+    rng = np.random.RandomState(21)
+    img = tmp_path / 'in.png'
+    Image.fromarray((rng.rand(64, 96, 3) * 255).astype(np.uint8)).save(
+        str(img))
+    out = str(tmp_path / 'preds')
+    run('infer.py', '--checkpoint', dual_head_ckpt, '--input', str(img),
+        '--output', out, '--save', 'npz', 'viz', '--device', 'cpu')
+    d = np.load(os.path.join(out, 'in.npz'))['depth']
+    assert d.shape == (64, 96) and np.isfinite(d).all() and (d > 0).all()
+    assert os.path.exists(os.path.join(out, 'in_viz.png'))
