@@ -221,17 +221,33 @@ def make_eval_step(model, mesh=None):
     """Jitted eval forward: (state, batch) -> model outputs (no grads).
 
     With a mesh, outputs are pinned replicated so downstream host fetches
-    see one logical array regardless of the batch's input sharding."""
+    see one logical array regardless of the batch's input sharding.
+    Dual-head outputs mix tuple keys like ('integer', 0) with str keys,
+    which a jitted pytree cannot sort — keys are string-encoded inside the
+    program and decoded on the way out."""
+    SEP = '\x1f'
 
     def eval_step(state, batch):
-        return model.apply(
+        out = model.apply(
             {'params': state.params, 'batch_stats': state.batch_stats},
             batch, train=False)
+        return {SEP.join(str(p) for p in k) if isinstance(k, tuple) else k: v
+                for k, v in out.items()}
 
     if mesh is not None and len(mesh.devices.flat) > 1:
-        return jax.jit(eval_step,
-                       out_shardings=NamedSharding(mesh, P()))
-    return jax.jit(eval_step)
+        jitted = jax.jit(eval_step, out_shardings=NamedSharding(mesh, P()))
+    else:
+        jitted = jax.jit(eval_step)
+
+    def call(state, batch):
+        out = jitted(state, batch)
+        def dec(k):
+            if SEP not in k:
+                return k
+            head, idx = k.split(SEP)
+            return (head, int(idx))
+        return {dec(k): v for k, v in out.items()}
+    return call
 
 
 def make_eval_metrics_step(model, params_cfg, flip_tta=False,

@@ -537,19 +537,27 @@ class Trainer:
         ds_cfg = self.config.datasets.test \
             if self.config.datasets.test.get('dataset') else \
             self.config.datasets.validation
+        dual = bool(self.config.model.depth_net.get('use_dual_head', False))
+        max_d = self.config.model.params.max_depth or 80.0
+        model = self.model
+
+        # select inside jit: dual-head outputs carry tuple keys, which a
+        # jitted function cannot return mixed with str keys
+        @jax.jit
+        def fwd(params, batch_stats, batch):
+            out = model.apply({'params': params, 'batch_stats': batch_stats},
+                              batch, train=False)
+            if dual:
+                depth = dual_head_to_depth(
+                    out[('integer', 0)], out[('fractional', 0)], max_d)
+                return 1.0 / jnp.maximum(depth, 1e-6)
+            return out['inv_depths'][0]
+
         total = 0
         for batch in loader:
             dev = _to_device_batch(batch, self.mesh)
-            out = self.eval_step(self._eval_state(), dev)
-            if 'inv_depths' in out:
-                inv = np.asarray(out['inv_depths'][0])
-            elif ('integer', 0) in out:
-                depth = dual_head_to_depth(
-                    out[('integer', 0)], out[('fractional', 0)],
-                    self.config.model.params.max_depth or 80.0)
-                inv = 1.0 / np.maximum(np.asarray(depth), 1e-6)
-            else:
-                continue
+            st = self._eval_state()
+            inv = np.asarray(fwd(st.params, st.batch_stats, dev))
             total += save_depth(batch, inv, self.config.save, ds_cfg,
                                 ckpt_name=ckpt_name,
                                 dataset_idx=dataset_idx)

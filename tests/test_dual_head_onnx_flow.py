@@ -219,3 +219,24 @@ def test_infer_cli_dual_head(dual_head_ckpt, tmp_path):
     d = np.load(os.path.join(out, 'in.npz'))['depth']
     assert d.shape == (64, 96) and np.isfinite(d).all() and (d > 0).all()
     assert os.path.exists(os.path.join(out, 'in_viz.png'))
+
+
+def test_eval_save_outputs_dual_head(dual_head_ckpt, tmp_path):
+    """cfg.save dump pass composes dual-head outputs into depth npz/viz."""
+    import glob
+    from packnet_sfm_tpu.config import parse_test_file
+    from packnet_sfm_tpu.trainers.trainer import Trainer, _to_device_batch
+    config, state = parse_test_file(dual_head_ckpt)
+    config.datasets.test = config.datasets.validation.clone()
+    config.save.folder = str(tmp_path / 'dumps')
+    trainer = Trainer(config, resume_state=state)
+    loader = trainer._make_loader('test')
+    first = next(iter(loader))
+    trainer._steps_per_epoch = 1
+    trainer.setup(_to_device_batch(first, trainer.mesh))
+    trainer.test(loader)
+    npzs = glob.glob(str(tmp_path / 'dumps' / '**' / '*_depth.npz'),
+                     recursive=True)
+    assert npzs
+    d = np.load(npzs[0])['depth']
+    assert d.ndim == 2 and np.isfinite(d).all() and (d > 0).all()
