@@ -51,3 +51,32 @@ def test_spatial_fallback_when_indivisible(net_and_vars):
     spec = batch['rgb'].sharding.spec
     assert spec[0] == 'data'
     assert len(spec) == 1 or spec[1] is None
+
+
+def test_spatial_sharding_film_row_window():
+    """The SAN branch (FiLM + active-row-window dynamic slice) compiles and
+    matches unsharded under a ('data','spatial') mesh — the dynamic-start
+    static-size crop must survive spatial partitioning of H."""
+    net = ResNetSAN01(version='18A', use_film=True, film_scales=(0,),
+                      san_row_window=0.5)
+    rng = np.random.RandomState(1)
+    rgb = rng.rand(2, 64, 64, 3).astype(np.float32)
+    # active band in the lower half (row-structured LiDAR)
+    d = np.zeros((2, 64, 64, 1), np.float32)
+    d[:, 36:52] = (rng.rand(2, 16, 64, 1) * 10 + 1) * \
+        (rng.rand(2, 16, 64, 1) < 0.2)
+    variables = net.init({'params': jax.random.PRNGKey(0)},
+                         jnp.asarray(rgb), jnp.asarray(d), train=True)
+
+    @jax.jit
+    def forward(v, x, dd):
+        return net.apply(v, x, dd, train=False)['inv_depths'][0]
+
+    ref = np.asarray(forward(variables, jnp.asarray(rgb), jnp.asarray(d)))
+
+    mesh = make_mesh((2, 4), ('data', 'spatial'))
+    batch = shard_batch({'rgb': rgb, 'input_depth': d}, mesh,
+                        spatial_axis='spatial')
+    out = np.asarray(forward(variables, batch['rgb'],
+                             batch['input_depth']))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
