@@ -1,0 +1,59 @@
+"""bench.py bitrot guard: the benchmark only executes on the chip at round
+end — this smoke builds BOTH workload configurations through bench.py's own
+builders and runs one real train step at tiny shapes on CPU, so framework
+refactors can't silently break the headline artifact between chip sessions."""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spec = importlib.util.spec_from_file_location(
+    'bench_module', os.path.join(REPO, 'bench.py'))
+bench = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bench)
+
+
+@pytest.mark.parametrize('selfsup', [False, True])
+def test_bench_workload_one_step(selfsup):
+    from packnet_sfm_tpu.models import setup_model
+    from packnet_sfm_tpu.parallel.train_step import (
+        make_optimizer, make_train_step, init_state)
+
+    cfg = bench._base_cfg()
+    cfg.tpu.compute_dtype = 'float32'  # CPU smoke: skip bf16
+    cfg.model.depth_net.san_row_window = 0.5  # 64-row tiny image: 32-aligned
+    if selfsup:
+        cfg.model.depth_net.use_film = True
+        cfg.model.pose_net.name = 'PoseNet'
+        cfg.model.loss.supervised_method = 'sparse-ssi-silog'
+        cfg.model.loss.supervised_loss_weight = 0.9
+        cfg.model.loss.automask_loss = True
+        cfg.model.loss.photometric_reduce_op = 'min'
+    else:
+        cfg.model.depth_net.use_film = True
+        cfg.model.pose_net.name = ''
+        cfg.model.loss.supervised_method = 'sparse-ssi-silog'
+        cfg.model.loss.supervised_loss_weight = 1.0
+
+    rng = np.random.RandomState(0)
+    batch = bench._rand_batch(rng, 2, 64, 96, lidar=True,
+                              contexts=2 if selfsup else 0)
+    assert (batch['input_depth'][:, :int(64 * 0.4) - 1] == 0).all()
+
+    model = setup_model(cfg)
+    tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, 10,
+                        clip_grad=cfg.arch.clip_grad)
+    import jax.numpy as jnp
+    dev = jax.tree_util.tree_map(jnp.asarray, batch)
+    state = init_state(model, tx, dev, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, donate=False)
+    state, metrics = step(state, dev, jax.random.PRNGKey(1), 0.0)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.step) == 1
