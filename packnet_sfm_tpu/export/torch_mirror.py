@@ -219,3 +219,228 @@ def export_onnx(net, path, height=384, width=640, opset=13):
         print('[export] onnx unavailable ({}); saved TorchScript to {}'
               .format(e, ts_path))
         return ts_path
+
+
+########################################################################################################################
+# PackNet family torch mirror (RGB eval path of PackNet01 / PackNetSlim01 /
+# PackNetSAN01 / PackNetSlimSAN01 — the SAN fusion is inactive without
+# input_depth, reference PackNetSAN01.py:196-210). Semantics re-derived from
+# reference networks/layers/packnet/layers01.py (Conv2D :10-37, ResidualConv
+# :40-72, InvDepth :98-122, packing :126-149, PackLayerConv3d :213-247,
+# UnpackLayerConv3d :250-285) — used by the ONNX/TorchScript export flow and
+# as the cross-framework witness for checkpoint transport.
+
+
+class TorchPNConv2D(nn.Module):
+    def __init__(self, cin, cout, k, stride):
+        super().__init__()
+        self.pad = nn.ConstantPad2d([k // 2] * 4, 0.0)
+        self.conv = nn.Conv2d(cin, cout, k, stride)
+        self.gn = nn.GroupNorm(16, cout)
+
+    def forward(self, x):
+        return torch.nn.functional.elu(self.gn(self.conv(self.pad(x))))
+
+
+class TorchPNResidualConv(nn.Module):
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.conv1 = TorchPNConv2D(cin, cout, 3, stride)
+        self.conv2 = TorchPNConv2D(cout, cout, 3, 1)
+        self.conv3 = nn.Conv2d(cin, cout, 1, stride)
+        self.gn = nn.GroupNorm(16, cout)
+
+    def forward(self, x):
+        return torch.nn.functional.elu(
+            self.gn(self.conv2(self.conv1(x)) + self.conv3(x)))
+
+
+def _pn_residual_block(cin, cout, n, stride):
+    layers = [TorchPNResidualConv(cin, cout, stride)]
+    for _ in range(1, n):
+        layers.append(TorchPNResidualConv(cout, cout, 1))
+    return nn.Sequential(*layers)
+
+
+class TorchPNInvDepth(nn.Module):
+    def __init__(self, cin, min_depth=0.5):
+        super().__init__()
+        self.pad = nn.ConstantPad2d([1] * 4, 0.0)
+        self.conv = nn.Conv2d(cin, 1, 3, 1)
+        self.min_depth = min_depth
+
+    def forward(self, x):
+        return torch.sigmoid(self.conv(self.pad(x))) / self.min_depth
+
+
+def _pn_packing(x, r=2):
+    b, c, h, w = x.shape
+    x = x.view(b, c, h // r, r, w // r, r)
+    return x.permute(0, 1, 3, 5, 2, 4).reshape(b, c * r * r, h // r, w // r)
+
+
+class TorchPackLayerConv3d(nn.Module):
+    def __init__(self, cin, k, r=2, d=8):
+        super().__init__()
+        self.r = r
+        self.conv3d = nn.Conv3d(1, d, (3, 3, 3), padding=(1, 1, 1))
+        self.conv = TorchPNConv2D(cin * r * r * d, cin, k, 1)
+
+    def forward(self, x):
+        x = _pn_packing(x, self.r).unsqueeze(1)
+        x = self.conv3d(x)
+        b, c, d_, h, w = x.shape
+        return self.conv(x.reshape(b, c * d_, h, w))
+
+
+class TorchUnpackLayerConv3d(nn.Module):
+    def __init__(self, cin, cout, k, r=2, d=8):
+        super().__init__()
+        self.conv = TorchPNConv2D(cin, cout * r * r // d, k, 1)
+        self.conv3d = nn.Conv3d(1, d, (3, 3, 3), padding=(1, 1, 1))
+        self.unpack = nn.PixelShuffle(r)
+
+    def forward(self, x):
+        x = self.conv(x).unsqueeze(1)
+        x = self.conv3d(x)
+        b, c, d_, h, w = x.shape
+        return self.unpack(x.reshape(b, c * d_, h, w))
+
+
+class TorchPackNet(nn.Module):
+    """PackNet01-family RGB depth net, version A skips (concat)."""
+
+    def __init__(self, ni=64, channels=(64, 64, 128, 256, 512),
+                 num_3d_feat=8, min_depth=0.5):
+        super().__init__()
+        n1, n2, n3, n4, n5 = channels
+        nb = [2, 2, 3, 3]
+        d = num_3d_feat
+        no = 1
+        self.pre_calc = TorchPNConv2D(3, ni, 5, 1)
+        self.conv1 = TorchPNConv2D(ni, n1, 7, 1)
+        self.conv2 = _pn_residual_block(n1, n2, nb[0], 1)
+        self.conv3 = _pn_residual_block(n2, n3, nb[1], 1)
+        self.conv4 = _pn_residual_block(n3, n4, nb[2], 1)
+        self.conv5 = _pn_residual_block(n4, n5, nb[3], 1)
+        self.pack1 = TorchPackLayerConv3d(n1, 5, d=d)
+        self.pack2 = TorchPackLayerConv3d(n2, 3, d=d)
+        self.pack3 = TorchPackLayerConv3d(n3, 3, d=d)
+        self.pack4 = TorchPackLayerConv3d(n4, 3, d=d)
+        self.pack5 = TorchPackLayerConv3d(n5, 3, d=d)
+        self.unpack5 = TorchUnpackLayerConv3d(n5, n5, 3, d=d)
+        self.unpack4 = TorchUnpackLayerConv3d(n5, n4, 3, d=d)
+        self.unpack3 = TorchUnpackLayerConv3d(n4, n3, 3, d=d)
+        self.unpack2 = TorchUnpackLayerConv3d(n3, n2, 3, d=d)
+        self.unpack1 = TorchUnpackLayerConv3d(n2, n1, 3, d=d)
+        self.iconv5 = TorchPNConv2D(n5 + n4, n5, 3, 1)
+        self.iconv4 = TorchPNConv2D(n4 + n3, n4, 3, 1)
+        self.iconv3 = TorchPNConv2D(n3 + n2 + no, n3, 3, 1)
+        self.iconv2 = TorchPNConv2D(n2 + n1 + no, n2, 3, 1)
+        self.iconv1 = TorchPNConv2D(n1 + ni + no, n1, 3, 1)
+        self.disp4_layer = TorchPNInvDepth(n4, min_depth)
+        self.disp3_layer = TorchPNInvDepth(n3, min_depth)
+        self.disp2_layer = TorchPNInvDepth(n2, min_depth)
+        self.disp1_layer = TorchPNInvDepth(n1, min_depth)
+
+    def forward(self, rgb):
+        up = nn.functional.interpolate
+        x = self.pre_calc(rgb)
+        x1 = self.conv1(x)
+        x1p = self.pack1(x1)
+        x2 = self.conv2(x1p)
+        x2p = self.pack2(x2)
+        x3 = self.conv3(x2p)
+        x3p = self.pack3(x3)
+        x4 = self.conv4(x3p)
+        x4p = self.pack4(x4)
+        x5 = self.conv5(x4p)
+        x5p = self.pack5(x5)
+
+        iconv5 = self.iconv5(torch.cat(
+            (self.unpack5(x5p), x4p), 1))
+        iconv4 = self.iconv4(torch.cat(
+            (self.unpack4(iconv5), x3p), 1))
+        disp4 = self.disp4_layer(iconv4)
+        udisp4 = up(disp4, scale_factor=2, mode='nearest')
+        iconv3 = self.iconv3(torch.cat(
+            (self.unpack3(iconv4), x2p, udisp4), 1))
+        disp3 = self.disp3_layer(iconv3)
+        udisp3 = up(disp3, scale_factor=2, mode='nearest')
+        iconv2 = self.iconv2(torch.cat(
+            (self.unpack2(iconv3), x1p, udisp3), 1))
+        disp2 = self.disp2_layer(iconv2)
+        udisp2 = up(disp2, scale_factor=2, mode='nearest')
+        iconv1 = self.iconv1(torch.cat(
+            (self.unpack1(iconv2), x, udisp2), 1))
+        disp1 = self.disp1_layer(iconv1)
+        return disp1, disp2, disp3, disp4
+
+
+def _load_pn_conv2d(mod, p):
+    mod.conv.weight.data = _t(p['Conv_0']['kernel'])
+    mod.conv.bias.data = _v(p['Conv_0']['bias'])
+    mod.gn.weight.data = _v(p['GroupNorm_0']['scale'])
+    mod.gn.bias.data = _v(p['GroupNorm_0']['bias'])
+
+
+def _load_pn_residual(mod, p):
+    _load_pn_conv2d(mod.conv1, p['Conv2D_0'])
+    _load_pn_conv2d(mod.conv2, p['Conv2D_1'])
+    mod.conv3.weight.data = _t(p['Conv_0']['kernel'])
+    mod.conv3.bias.data = _v(p['Conv_0']['bias'])
+    mod.gn.weight.data = _v(p['GroupNorm_0']['scale'])
+    mod.gn.bias.data = _v(p['GroupNorm_0']['bias'])
+
+
+def _load_pn_conv3d(mod, p):
+    import numpy as np
+    stack = p['_Conv3DStack_0']
+    if 'win2d' in stack:       # depthwin2d impl: [kh,kw,dz,j]
+        k = np.asarray(stack['win2d']['kernel'])
+        b = np.asarray(stack['win2d']['bias'])
+    elif 'win2d_kernel' in stack:  # depthwise impl: same layout
+        k = np.asarray(stack['win2d_kernel'])
+        b = np.asarray(stack['win2d_bias'])
+    else:                      # literal conv3d impl: [kd,kh,kw,1,j]
+        k3 = np.asarray(stack['Conv_0']['kernel'])
+        mod.conv3d.weight.data = torch.from_numpy(
+            np.ascontiguousarray(k3.transpose(4, 3, 0, 1, 2)))
+        mod.conv3d.bias.data = torch.from_numpy(
+            np.asarray(stack['Conv_0']['bias']).copy())
+        return
+    # w3d[j, 0, dz, kh, kw] = win2d[kh, kw, dz, j]
+    mod.conv3d.weight.data = torch.from_numpy(
+        np.ascontiguousarray(k.transpose(3, 2, 0, 1)[:, None]))
+    mod.conv3d.bias.data = torch.from_numpy(b.copy())
+
+
+def load_packnet_into_torch(variables, ni=64,
+                            channels=(64, 64, 128, 256, 512),
+                            num_3d_feat=8, min_depth=0.5):
+    """Build a TorchPackNet from PackNet01-family flax variables (the
+    'core' subtree; all three CONV3D_IMPL weight layouts accepted)."""
+    core = variables['params']['core']
+    net = TorchPackNet(ni=ni, channels=channels, num_3d_feat=num_3d_feat,
+                       min_depth=min_depth)
+    _load_pn_conv2d(net.pre_calc, core['pre_calc'])
+    _load_pn_conv2d(net.conv1, core['conv1'])
+    for name in ('conv2', 'conv3', 'conv4', 'conv5'):
+        blocks = getattr(net, name)
+        sub = core[name]
+        for i, blk in enumerate(blocks):
+            _load_pn_residual(blk, sub['ResidualConv_{}'.format(i)])
+    for name in ('pack1', 'pack2', 'pack3', 'pack4', 'pack5',
+                 'unpack1', 'unpack2', 'unpack3', 'unpack4', 'unpack5'):
+        mod = getattr(net, name)
+        _load_pn_conv3d(mod, core[name])
+        _load_pn_conv2d(mod.conv, core[name]['Conv2D_0'])
+    for name in ('iconv1', 'iconv2', 'iconv3', 'iconv4', 'iconv5'):
+        _load_pn_conv2d(getattr(net, name), core[name])
+    for name in ('disp1_layer', 'disp2_layer', 'disp3_layer', 'disp4_layer'):
+        mod = getattr(net, name)
+        p = core[name]['Conv_0']
+        mod.conv.weight.data = _t(p['kernel'])
+        mod.conv.bias.data = _v(p['bias'])
+    net.eval()
+    return net

@@ -55,7 +55,9 @@ class Conv2D(nn.Module):
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
                     strides=(self.stride, self.stride), padding=p,
                     kernel_init=XAVIER, dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=16, dtype=jnp.float32)(x)
+        # epsilon matches torch GroupNorm (1e-5; flax defaults 1e-6) for
+        # exact reference-checkpoint transport
+        x = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=jnp.float32)(x)
         return nn.elu(x)
 
 
@@ -75,7 +77,8 @@ class ResidualConv(nn.Module):
                            kernel_init=XAVIER, dtype=self.dtype)(x)
         if self.dropout:
             shortcut = nn.Dropout(self.dropout, deterministic=not train)(shortcut)
-        out = nn.GroupNorm(num_groups=16, dtype=jnp.float32)(y + shortcut)
+        out = nn.GroupNorm(num_groups=16, epsilon=1e-5,
+                           dtype=jnp.float32)(y + shortcut)
         return nn.elu(out)
 
 
@@ -125,6 +128,13 @@ class _Conv3DStack(nn.Module):
                     convs"). Weight layout: K2d[kh,kw,dz,j] = K3d[dz,kh,kw,0,j].
 
     Default picked by measurement on v5e (BENCH_NOTES.md).
+
+    Output channels flatten D-MAJOR (k = j*C + c), matching the reference's
+    `view(b, d*C, h, w)` (layers01.py:240-247) EXACTLY — this matters on the
+    unpack side, where the consumer is the FIXED pixel shuffle: a c-major
+    order is not reparameterization-equivalent, so reference PackNet
+    checkpoints could not transport onto it. The permute is pure layout and
+    fuses into the adjacent ops under XLA.
     """
     d: int = 8
     dtype: jnp.dtype = jnp.float32
@@ -137,7 +147,7 @@ class _Conv3DStack(nn.Module):
             v = x.transpose(0, 3, 1, 2)[..., None]     # [B,C,H,W,1] (C=depth)
             v = nn.Conv(self.d, (3, 3, 3), padding=1, kernel_init=XAVIER,
                         dtype=self.dtype)(v)           # [B,C,H,W,d]
-            return v.transpose(0, 2, 3, 1, 4).reshape(B, H, W, C * self.d)
+            return v.transpose(0, 2, 3, 4, 1).reshape(B, H, W, self.d * C)
         if self.impl == 'depthwise':
             # Same math as three depthwise convs (feature_group_count=C,
             # channel multiplier d): y[..., c*d+j] =
@@ -163,7 +173,10 @@ class _Conv3DStack(nn.Module):
                     feature_group_count=C,
                     dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
                 y = t if y is None else y + t
-            return y + jnp.tile(bias, C).astype(y.dtype)
+            y = y + jnp.tile(bias, C).astype(y.dtype)
+            # grouped conv emits c-major; flatten d-major (see docstring)
+            return y.reshape(B, H, W, C, self.d).transpose(
+                0, 1, 2, 4, 3).reshape(B, H, W, self.d * C)
         # depth-window unfold: xw[..., c, k] = x_padded[..., c + k]
         xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1)))
         xw = jnp.stack([xp[..., 0:C], xp[..., 1:C + 1], xp[..., 2:C + 2]],
@@ -172,7 +185,7 @@ class _Conv3DStack(nn.Module):
         v = nn.Conv(self.d, (3, 3), padding=1, kernel_init=XAVIER,
                     dtype=self.dtype, name='win2d')(v)  # [B*C,H,W,d]
         v = v.reshape(B, C, H, W, self.d)
-        return v.transpose(0, 2, 3, 1, 4).reshape(B, H, W, C * self.d)
+        return v.transpose(0, 2, 3, 4, 1).reshape(B, H, W, self.d * C)
 
 
 class PackLayerConv3d(nn.Module):

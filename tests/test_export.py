@@ -157,3 +157,65 @@ def test_eval_metric_parity_jax_vs_torch_mirror(trained_variables):
 
     assert abs(abs_rel_jax - abs_rel_torch) < 1e-3, \
         (abs_rel_jax, abs_rel_torch)
+
+
+def test_packnet_torch_mirror_forward_parity():
+    """PackNet01 flax forward == the torch mirror on transported weights —
+    proves the d-major conv3d flatten order matches the reference's
+    view(b, d*C, h, w) + PixelShuffle composition exactly (the c-major
+    order is NOT reparameterization-equivalent on the unpack side)."""
+    import jax
+    import jax.numpy as jnp
+    from packnet_sfm_tpu.networks.depth.packnet import PackNet01
+    from packnet_sfm_tpu.export.torch_mirror import load_packnet_into_torch
+
+    net = PackNet01(version='1A')
+    rng = np.random.RandomState(0)
+    rgb = rng.rand(1, 64, 96, 3).astype(np.float32)
+    variables = net.init({'params': jax.random.PRNGKey(2)},
+                         jnp.asarray(rgb), train=False)
+    out_jax = np.asarray(
+        net.apply(variables, jnp.asarray(rgb), train=False)
+        ['inv_depths'][0])[..., 0]
+
+    tnet = load_packnet_into_torch(variables)
+    with torch.no_grad():
+        out_t = tnet(torch.from_numpy(
+            np.ascontiguousarray(rgb.transpose(0, 3, 1, 2))))[0]
+    np.testing.assert_allclose(out_jax, out_t.numpy()[:, 0],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_packnet_torch_mirror_all_conv3d_impls():
+    """All three CONV3D_IMPL weight layouts transport onto the same torch
+    conv3d and agree with their flax forward."""
+    import jax
+    import jax.numpy as jnp
+    from packnet_sfm_tpu.networks.layers import packnet as pn
+    from packnet_sfm_tpu.export.torch_mirror import load_packnet_into_torch
+
+    rng = np.random.RandomState(1)
+    rgb = rng.rand(1, 32, 32, 3).astype(np.float32)
+    default = pn.CONV3D_IMPL
+    outs = {}
+    try:
+        for impl in ('depthwin2d', 'depthwise', 'conv3d'):
+            pn.CONV3D_IMPL = impl
+            from packnet_sfm_tpu.networks.depth.packnet import PackNetSlim01
+            net = PackNetSlim01(version='1A')
+            variables = net.init({'params': jax.random.PRNGKey(5)},
+                                 jnp.asarray(rgb), train=False)
+            out_jax = np.asarray(net.apply(
+                variables, jnp.asarray(rgb), train=False)
+                ['inv_depths'][0])[..., 0]
+            tnet = load_packnet_into_torch(
+                variables, ni=32, channels=(32, 64, 128, 256, 512),
+                num_3d_feat=4)
+            with torch.no_grad():
+                out_t = tnet(torch.from_numpy(np.ascontiguousarray(
+                    rgb.transpose(0, 3, 1, 2))))[0].numpy()[:, 0]
+            np.testing.assert_allclose(out_jax, out_t, rtol=1e-4,
+                                       atol=1e-5)
+            outs[impl] = out_t
+    finally:
+        pn.CONV3D_IMPL = default
