@@ -334,34 +334,28 @@ def _bn_from_ref(sd, prefix):
     return p, s
 
 
-def _decoder_modlist_names(scales=(0, 1, 2, 3)):
+def _decoder_modlist_names(scales=(0, 1, 2, 3), dual_head=False):
     """reference ModuleList index -> our decoder module name
-    (depth_decoder.py:29-46 insert order)."""
+    (depth_decoder.py:29-46 insert order; dual-head:
+    dual_head_depth_decoder.py:71-95 — upconvs then interleaved
+    integer_conv/fractional_conv per scale)."""
     names = []
     for i in range(4, -1, -1):
         names.append(('upconv_{}_0'.format(i), True))
         names.append(('upconv_{}_1'.format(i), True))
     for s in scales:
-        names.append(('dispconv_{}'.format(s), False))
+        if dual_head:
+            names.append(('integer_conv_{}'.format(s), False))
+            names.append(('fractional_conv_{}'.format(s), False))
+        else:
+            names.append(('dispconv_{}'.format(s), False))
     return names
 
 
-def reference_depth_net_to_flax(sd, num_layers=18,
-                                me_kernel_order='first_axis_fastest'):
-    """reference ResNetSAN01 state_dict (keys relative to depth_net) ->
-    (params, batch_stats) trees for our flax ResNetSAN01."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
-    enc_sd = {k[len('encoder.encoder.'):]: v for k, v in sd.items()
-              if k.startswith('encoder.encoder.')}
-    enc_p, enc_s = torchvision_resnet_to_flax(enc_sd, num_layers)
-
-    dec_p = {}
-    for n, (name, is_block) in enumerate(_decoder_modlist_names()):
-        pre = 'decoder.decoder.{}.conv.'.format(n)
-        pre = pre + 'conv.' if is_block else pre
-        dec_p[name] = {'Conv_0': {'kernel': _k(sd[pre + 'weight']),
-                                  'bias': np.asarray(sd[pre + 'bias'])}}
-
+def _mconvs_from_reference(sd, me_kernel_order='first_axis_fastest'):
+    """reference `mconvs.*` entries (MinkowskiEncoder: minkowski_encoder.py
+    :100-140 naming) -> (params, batch_stats) for our flax MinkowskiEncoder.
+    Shared by the ResNetSAN01 and PackNet-SAN importers."""
     mc_p, mc_s = {}, {}
     n_stages = len({k.split('.')[2] for k in sd
                     if k.startswith('mconvs.mconvs.')})
@@ -399,6 +393,64 @@ def reference_depth_net_to_flax(sd, num_layers=18,
             elif k.endswith('.1.bias'):
                 mc_p.setdefault('film_{}'.format(scale), {})['bias'] = \
                     np.asarray(sd[k])
+    return mc_p, mc_s
+
+
+def _mconvs_to_reference(mp, ms, sd, me_kernel_order='first_axis_fastest'):
+    """Inverse of _mconvs_from_reference: write reference-named `mconvs.*`
+    entries into sd (in place)."""
+    def put_bn(pre, bp, bs):
+        sd[pre + 'weight'] = bp['scale']
+        sd[pre + 'bias'] = bp['bias']
+        sd[pre + 'running_mean'] = bs['mean']
+        sd[pre + 'running_var'] = bs['var']
+
+    stages = sorted(int(k.split('_')[1]) for k in mp
+                    if k.startswith('mconv_'))
+    for st in stages:
+        base = 'mconvs.mconvs.{}.'.format(st)
+        mod = mp['mconv_{}'.format(st)]
+        mods = ms['mconv_{}'.format(st)]
+        for lname, (ours, convs, bns) in _MCONV_SEQS.items():
+            for slot, conv_name in convs:
+                sd[base + '{}.{}.kernel'.format(lname, slot)] = \
+                    _hwio_to_me_kernel(mod[ours][conv_name]['kernel'],
+                                       me_kernel_order)
+            for slot, bn_name in bns:
+                put_bn(base + '{}.{}.bn.'.format(lname, slot),
+                       mod[ours][bn_name], mods[ours][bn_name])
+        put_bn(base + 'layer_final.0.bn.', mod['MaskedBatchNorm_0'],
+               mods['MaskedBatchNorm_0'])
+    for k in mp:
+        if k.startswith('film_'):
+            scale = k.split('_')[1]
+            pre = 'mconvs.film_generators.{}.1.'.format(scale)
+            sd[pre + 'weight'] = _k_inv(mp[k]['kernel'])
+            sd[pre + 'bias'] = mp[k]['bias']
+
+
+def reference_depth_net_to_flax(sd, num_layers=18,
+                                me_kernel_order='first_axis_fastest'):
+    """reference ResNetSAN01 state_dict (keys relative to depth_net) ->
+    (params, batch_stats) trees for our flax ResNetSAN01."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    enc_sd = {k[len('encoder.encoder.'):]: v for k, v in sd.items()
+              if k.startswith('encoder.encoder.')}
+    enc_p, enc_s = torchvision_resnet_to_flax(enc_sd, num_layers)
+
+    # 14 decoder entries = standard DepthDecoder (10 upconv + 4 dispconv),
+    # 18 = dual-head (10 upconv + 4x interleaved integer/fractional convs)
+    n_dec = len({k.split('.')[2] for k in sd
+                 if k.startswith('decoder.decoder.')})
+    dec_p = {}
+    for n, (name, is_block) in enumerate(
+            _decoder_modlist_names(dual_head=(n_dec == 18))):
+        pre = 'decoder.decoder.{}.conv.'.format(n)
+        pre = pre + 'conv.' if is_block else pre
+        dec_p[name] = {'Conv_0': {'kernel': _k(sd[pre + 'weight']),
+                                  'bias': np.asarray(sd[pre + 'bias'])}}
+
+    mc_p, mc_s = _mconvs_from_reference(sd, me_kernel_order)
 
     params = {'encoder': enc_p, 'decoder': dec_p}
     stats = {'encoder': enc_s}
@@ -448,37 +500,16 @@ def flax_to_reference_depth_net(variables, num_layers=18,
                           es[name]['BatchNorm_2'])
             b += 1
 
-    for n, (name, is_block) in enumerate(_decoder_modlist_names()):
+    dual = 'integer_conv_0' in p['decoder']
+    for n, (name, is_block) in enumerate(
+            _decoder_modlist_names(dual_head=dual)):
         pre = 'decoder.decoder.{}.conv.'.format(n)
         pre = pre + 'conv.' if is_block else pre
         sd[pre + 'weight'] = _k_inv(p['decoder'][name]['Conv_0']['kernel'])
         sd[pre + 'bias'] = p['decoder'][name]['Conv_0']['bias']
 
     if 'mconvs' in p:
-        mp, ms = p['mconvs'], s['mconvs']
-        stages = sorted(int(k.split('_')[1]) for k in mp
-                        if k.startswith('mconv_'))
-        for st in stages:
-            base = 'mconvs.mconvs.{}.'.format(st)
-            mod = mp['mconv_{}'.format(st)]
-            mods = ms['mconv_{}'.format(st)]
-            for lname, (ours, convs, bns) in _MCONV_SEQS.items():
-                for slot, conv_name in convs:
-                    sd[base + '{}.{}.kernel'.format(lname, slot)] = \
-                        _hwio_to_me_kernel(mod[ours][conv_name]['kernel'],
-                                           me_kernel_order)
-                for slot, bn_name in bns:
-                    pre = base + '{}.{}.bn.'.format(lname, slot)
-                    put_tv_bn(pre, mod[ours][bn_name],
-                              mods[ours][bn_name])
-            put_tv_bn(base + 'layer_final.0.bn.', mod['MaskedBatchNorm_0'],
-                      mods['MaskedBatchNorm_0'])
-        for k in mp:
-            if k.startswith('film_'):
-                scale = k.split('_')[1]
-                pre = 'mconvs.film_generators.{}.1.'.format(scale)
-                sd[pre + 'weight'] = _k_inv(mp[k]['kernel'])
-                sd[pre + 'bias'] = mp[k]['bias']
+        _mconvs_to_reference(p['mconvs'], s['mconvs'], sd, me_kernel_order)
     if 'weight' in p:
         sd['weight'] = np.asarray(p['weight'])
         sd['bias'] = np.asarray(p['bias'])
@@ -541,3 +572,314 @@ def load_reference_checkpoint(variables, path_or_sd, num_layers=18,
     merged_s.update(to_jnp(stats))
     new_vars['batch_stats'] = merged_s
     return new_vars
+
+
+########################################################################################################################
+# FULL reference-checkpoint interop: PackNet family
+#
+# Maps reference-format PackNet01 / PackNetSlim01 (flat names,
+# /root/reference/packnet_sfm/networks/depth/PackNet01.py:25-104),
+# PackNetSAN01 (encoder./decoder. nesting + mconvs + gates,
+# PackNetSAN01.py:143-183) and PackNetSlimSAN01 (flat names + FiLM mconvs,
+# PackNetSlimSAN01.py:16-113) state_dicts onto our flax PackNet variables and
+# back. The published TRI PackNet01 KITTI checkpoints transport through this
+# path. Layer naming from layers01.py: Conv2D {conv_base, normalize} (:25-36),
+# ResidualConv {conv1, conv2, conv3[.0 under dropout], normalize} (:40-72),
+# InvDepth {conv1} (:98-117), Pack/UnpackLayerConv3d {conv3d, conv.<Conv2D>}
+# (:213-285). The conv3d weight lands in whichever _Conv3DStack layout the
+# target variables use (literal / depthwin2d / depthwise).
+
+_PN_ENCODER_MODS = ('pre_calc', 'conv1', 'conv2', 'conv3', 'conv4', 'conv5',
+                    'pack1', 'pack2', 'pack3', 'pack4', 'pack5')
+_PN_DECODER_MODS = ('unpack1', 'unpack2', 'unpack3', 'unpack4', 'unpack5',
+                    'iconv1', 'iconv2', 'iconv3', 'iconv4', 'iconv5',
+                    'disp1_layer', 'disp2_layer', 'disp3_layer', 'disp4_layer')
+
+
+def _pn_flatten_names(sd):
+    """Strip the PackNetSAN01 encoder./decoder. nesting; module names are
+    unique across the two, so the flat namespace is unambiguous."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith('encoder.') and not k.startswith('encoder.encoder.'):
+            k = k[len('encoder.'):]
+        elif k.startswith('decoder.'):
+            k = k[len('decoder.'):]
+        out[k] = v
+    return out
+
+
+def _pn_conv2d_from(sd, pre):
+    return {'Conv_0': {'kernel': _k(sd[pre + 'conv_base.weight']),
+                       'bias': np.asarray(sd[pre + 'conv_base.bias'])},
+            'GroupNorm_0': {'scale': np.asarray(sd[pre + 'normalize.weight']),
+                            'bias': np.asarray(sd[pre + 'normalize.bias'])}}
+
+
+def _pn_conv2d_to(sd, pre, p):
+    sd[pre + 'conv_base.weight'] = _k_inv(p['Conv_0']['kernel'])
+    sd[pre + 'conv_base.bias'] = np.asarray(p['Conv_0']['bias'])
+    sd[pre + 'normalize.weight'] = np.asarray(p['GroupNorm_0']['scale'])
+    sd[pre + 'normalize.bias'] = np.asarray(p['GroupNorm_0']['bias'])
+
+
+def _pn_residual_from(sd, pre):
+    # under dropout the reference wraps conv3 in a Sequential -> conv3.0.*
+    c3 = pre + ('conv3.0.' if pre + 'conv3.0.weight' in sd else 'conv3.')
+    return {'Conv2D_0': _pn_conv2d_from(sd, pre + 'conv1.'),
+            'Conv2D_1': _pn_conv2d_from(sd, pre + 'conv2.'),
+            'Conv_0': {'kernel': _k(sd[c3 + 'weight']),
+                       'bias': np.asarray(sd[c3 + 'bias'])},
+            'GroupNorm_0': {'scale': np.asarray(sd[pre + 'normalize.weight']),
+                            'bias': np.asarray(sd[pre + 'normalize.bias'])}}
+
+
+def _pn_residual_to(sd, pre, p):
+    _pn_conv2d_to(sd, pre + 'conv1.', p['Conv2D_0'])
+    _pn_conv2d_to(sd, pre + 'conv2.', p['Conv2D_1'])
+    sd[pre + 'conv3.weight'] = _k_inv(p['Conv_0']['kernel'])
+    sd[pre + 'conv3.bias'] = np.asarray(p['Conv_0']['bias'])
+    sd[pre + 'normalize.weight'] = np.asarray(p['GroupNorm_0']['scale'])
+    sd[pre + 'normalize.bias'] = np.asarray(p['GroupNorm_0']['bias'])
+
+
+def _pn_conv3d_from(sd, pre, stack_tpl):
+    """torch conv3d weight [j,1,dz,kh,kw] -> the _Conv3DStack layout present
+    in stack_tpl (see export/torch_mirror.py _load_pn_conv3d for the exact
+    inverse maps)."""
+    w = np.asarray(sd[pre + 'conv3d.weight'])
+    b = np.asarray(sd[pre + 'conv3d.bias'])
+    if 'win2d' in stack_tpl:
+        return {'win2d': {'kernel': np.ascontiguousarray(
+                              w[:, 0].transpose(2, 3, 1, 0)),
+                          'bias': b}}
+    if 'win2d_kernel' in stack_tpl:
+        return {'win2d_kernel': np.ascontiguousarray(
+                    w[:, 0].transpose(2, 3, 1, 0)),
+                'win2d_bias': b}
+    return {'Conv_0': {'kernel': np.ascontiguousarray(
+                           w.transpose(2, 3, 4, 1, 0)),
+                       'bias': b}}
+
+
+def _pn_conv3d_to(sd, pre, stack):
+    if 'win2d' in stack:
+        k, b = stack['win2d']['kernel'], stack['win2d']['bias']
+        w = np.asarray(k).transpose(3, 2, 0, 1)[:, None]
+    elif 'win2d_kernel' in stack:
+        k, b = stack['win2d_kernel'], stack['win2d_bias']
+        w = np.asarray(k).transpose(3, 2, 0, 1)[:, None]
+    else:
+        k, b = stack['Conv_0']['kernel'], stack['Conv_0']['bias']
+        w = np.asarray(k).transpose(4, 3, 0, 1, 2)
+    sd[pre + 'conv3d.weight'] = np.ascontiguousarray(w)
+    sd[pre + 'conv3d.bias'] = np.asarray(b)
+
+
+def reference_packnet_to_flax(sd, variables,
+                              me_kernel_order='first_axis_fastest'):
+    """reference PackNet-family state_dict (keys relative to depth_net) ->
+    (params, batch_stats) trees shaped like `variables` (which supplies the
+    residual-block counts and the conv3d weight layout)."""
+    sd = _pn_flatten_names({k: np.asarray(v) for k, v in sd.items()})
+    tpl = jax_to_np(variables['params'])['core']
+    core = {'pre_calc': _pn_conv2d_from(sd, 'pre_calc.'),
+            'conv1': _pn_conv2d_from(sd, 'conv1.')}
+    for name in ('conv2', 'conv3', 'conv4', 'conv5'):
+        blk = {}
+        for sub in tpl[name]:
+            i = int(sub.split('_')[1])
+            blk[sub] = _pn_residual_from(sd, '{}.{}.'.format(name, i))
+        core[name] = blk
+    for name in ('pack1', 'pack2', 'pack3', 'pack4', 'pack5',
+                 'unpack1', 'unpack2', 'unpack3', 'unpack4', 'unpack5'):
+        core[name] = {
+            '_Conv3DStack_0': _pn_conv3d_from(
+                sd, name + '.', tpl[name]['_Conv3DStack_0']),
+            'Conv2D_0': _pn_conv2d_from(sd, name + '.conv.')}
+    for name in ('iconv1', 'iconv2', 'iconv3', 'iconv4', 'iconv5'):
+        core[name] = _pn_conv2d_from(sd, name + '.')
+    for name in ('disp1_layer', 'disp2_layer', 'disp3_layer', 'disp4_layer'):
+        core[name] = {'Conv_0': {'kernel': _k(sd[name + '.conv1.weight']),
+                                 'bias': np.asarray(
+                                     sd[name + '.conv1.bias'])}}
+    params, stats = {'core': core}, {}
+    if any(k.startswith('mconvs.') for k in sd):
+        mc_p, mc_s = _mconvs_from_reference(sd, me_kernel_order)
+        params['mconvs'] = mc_p
+        stats['mconvs'] = mc_s
+        params['weight'] = np.asarray(sd['weight'])
+        params['bias'] = np.asarray(sd['bias'])
+    return params, stats
+
+
+def flax_to_reference_packnet(variables, nested=False,
+                              me_kernel_order='first_axis_fastest'):
+    """Inverse of reference_packnet_to_flax: our flax PackNet-family
+    variables -> a reference-format (numpy) state_dict. nested=True emits
+    the PackNetSAN01 encoder./decoder. naming; False the flat
+    PackNet01/PackNetSlim01/PackNetSlimSAN01 naming."""
+    p = jax_to_np(variables['params'])
+    core = p['core']
+    sd = {}
+
+    def prefix(name):
+        if not nested:
+            return name + '.'
+        side = 'encoder' if name in _PN_ENCODER_MODS else 'decoder'
+        return '{}.{}.'.format(side, name)
+
+    _pn_conv2d_to(sd, prefix('pre_calc'), core['pre_calc'])
+    _pn_conv2d_to(sd, prefix('conv1'), core['conv1'])
+    for name in ('conv2', 'conv3', 'conv4', 'conv5'):
+        for sub, blk in core[name].items():
+            i = int(sub.split('_')[1])
+            _pn_residual_to(sd, prefix(name) + '{}.'.format(i), blk)
+    for name in ('pack1', 'pack2', 'pack3', 'pack4', 'pack5',
+                 'unpack1', 'unpack2', 'unpack3', 'unpack4', 'unpack5'):
+        _pn_conv3d_to(sd, prefix(name), core[name]['_Conv3DStack_0'])
+        _pn_conv2d_to(sd, prefix(name) + 'conv.', core[name]['Conv2D_0'])
+    for name in ('iconv1', 'iconv2', 'iconv3', 'iconv4', 'iconv5'):
+        _pn_conv2d_to(sd, prefix(name), core[name])
+    for name in ('disp1_layer', 'disp2_layer', 'disp3_layer', 'disp4_layer'):
+        sd[prefix(name) + 'conv1.weight'] = \
+            _k_inv(core[name]['Conv_0']['kernel'])
+        sd[prefix(name) + 'conv1.bias'] = \
+            np.asarray(core[name]['Conv_0']['bias'])
+    if 'mconvs' in p:
+        _mconvs_to_reference(p['mconvs'],
+                             jax_to_np(variables['batch_stats'])['mconvs'],
+                             sd, me_kernel_order)
+        sd['weight'] = np.asarray(p['weight'])
+        sd['bias'] = np.asarray(p['bias'])
+    return sd
+
+
+def load_reference_packnet_checkpoint(variables, path_or_sd,
+                                      key='depth_net',
+                                      me_kernel_order='first_axis_fastest'):
+    """Merge a FULL reference PackNet-family checkpoint into our flax
+    variables (fail-loud; same prefix-anywhere handling as the ResNetSAN01
+    loader)."""
+    if isinstance(path_or_sd, (str, bytes)):
+        import torch
+        ckpt = torch.load(path_or_sd, map_location='cpu', weights_only=False)
+        sd = ckpt.get('state_dict', ckpt)
+    else:
+        sd = path_or_sd
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    rel = strip_reference_prefix(sd, key) if any(
+        (key + '.') in k for k in sd) else sd
+    params, stats = reference_packnet_to_flax(rel, variables, me_kernel_order)
+    import jax
+    import jax.numpy as jnp
+
+    def to_jnp(t):
+        return jax.tree_util.tree_map(jnp.asarray, t)
+
+    new_vars = {k: dict(v) for k, v in variables.items()}
+    merged_p = dict(new_vars['params'])
+    merged_p.update(to_jnp(params))
+    new_vars['params'] = merged_p
+    if stats:
+        merged_s = dict(new_vars.get('batch_stats', {}))
+        merged_s.update(to_jnp(stats))
+        new_vars['batch_stats'] = merged_s
+    return new_vars
+
+
+########################################################################################################################
+# Pose nets: PoseNet (SfmLearner conv_gn stack, reference
+# networks/pose/PoseNet.py:38-84) and PoseResNet (2-image torchvision
+# encoder + monodepth2 PoseDecoder, PoseResNet.py:25-47 /
+# layers/resnet/pose_decoder.py:14-32 where net.0=squeeze, net.1..3=pose_0..2)
+
+
+def reference_pose_net_to_flax(sd):
+    """reference pose_net state_dict (keys relative to pose_net) ->
+    (params, batch_stats); the net kind is inferred from the keys."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if any(k.startswith('pose_pred.') for k in sd):     # PoseNet
+        params = {}
+        for i in range(1, 8):
+            pre = 'conv{}.'.format(i)
+            params['conv{}'.format(i)] = {
+                'Conv_0': {'kernel': _k(sd[pre + '0.weight']),
+                           'bias': np.asarray(sd[pre + '0.bias'])},
+                'GroupNorm_0': {'scale': np.asarray(sd[pre + '1.weight']),
+                                'bias': np.asarray(sd[pre + '1.bias'])}}
+        params['pose_pred'] = {'kernel': _k(sd['pose_pred.weight']),
+                               'bias': np.asarray(sd['pose_pred.bias'])}
+        return params, {}
+    # PoseResNet
+    enc_sd = {k[len('encoder.encoder.'):]: v for k, v in sd.items()
+              if k.startswith('encoder.encoder.')}
+    num_layers = 34 if any(k.startswith('layer1.2.') for k in enc_sd) else 18
+    enc_p, enc_s = torchvision_resnet_to_flax(enc_sd, num_layers,
+                                              num_input_images=1)
+    # (the 2-image first conv is stored at its full 6-channel width in the
+    # checkpoint, so num_input_images=1 keeps it verbatim)
+    dec_p = {}
+    for n, name in enumerate(['squeeze_0', 'pose_0', 'pose_1', 'pose_2']):
+        pre = 'decoder.net.{}.'.format(n)
+        dec_p[name] = {'kernel': _k(sd[pre + 'weight']),
+                       'bias': np.asarray(sd[pre + 'bias'])}
+    return {'encoder': enc_p, 'decoder': dec_p}, {'encoder': enc_s}
+
+
+def flax_to_reference_pose_net(variables_or_params, batch_stats=None):
+    """Inverse of reference_pose_net_to_flax."""
+    if 'params' in variables_or_params and isinstance(
+            variables_or_params.get('params'), dict):
+        p = jax_to_np(variables_or_params['params'])
+        s = jax_to_np(variables_or_params.get('batch_stats', {}))
+    else:
+        p = jax_to_np(variables_or_params)
+        s = jax_to_np(batch_stats or {})
+    sd = {}
+    if 'pose_pred' in p:                                # PoseNet
+        for i in range(1, 8):
+            cp = p['conv{}'.format(i)]
+            pre = 'conv{}.'.format(i)
+            sd[pre + '0.weight'] = _k_inv(cp['Conv_0']['kernel'])
+            sd[pre + '0.bias'] = np.asarray(cp['Conv_0']['bias'])
+            sd[pre + '1.weight'] = np.asarray(cp['GroupNorm_0']['scale'])
+            sd[pre + '1.bias'] = np.asarray(cp['GroupNorm_0']['bias'])
+        sd['pose_pred.weight'] = _k_inv(p['pose_pred']['kernel'])
+        sd['pose_pred.bias'] = np.asarray(p['pose_pred']['bias'])
+        return sd
+    # PoseResNet: reuse the ResNetSAN encoder exporter's torchvision naming
+    ep, es = p['encoder'], s['encoder']
+    num_layers = 34 if 'BasicBlock_8' in ep else 18
+    blocks = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3]}[num_layers]
+
+    def put_bn(pre, bp, bs):
+        sd[pre + 'weight'] = bp['scale']
+        sd[pre + 'bias'] = bp['bias']
+        sd[pre + 'running_mean'] = bs['mean']
+        sd[pre + 'running_var'] = bs['var']
+
+    sd['encoder.encoder.conv1.weight'] = _k_inv(ep['Conv_0']['kernel'])
+    put_bn('encoder.encoder.bn1.', ep['BatchNorm_0'], es['BatchNorm_0'])
+    b = 0
+    for stage in range(4):
+        for blk in range(blocks[stage]):
+            pre = 'encoder.encoder.layer{}.{}.'.format(stage + 1, blk)
+            name = 'BasicBlock_{}'.format(b)
+            sd[pre + 'conv1.weight'] = _k_inv(ep[name]['Conv_0']['kernel'])
+            put_bn(pre + 'bn1.', ep[name]['BatchNorm_0'],
+                   es[name]['BatchNorm_0'])
+            sd[pre + 'conv2.weight'] = _k_inv(ep[name]['Conv_1']['kernel'])
+            put_bn(pre + 'bn2.', ep[name]['BatchNorm_1'],
+                   es[name]['BatchNorm_1'])
+            if 'Conv_2' in ep[name]:
+                sd[pre + 'downsample.0.weight'] = \
+                    _k_inv(ep[name]['Conv_2']['kernel'])
+                put_bn(pre + 'downsample.1.', ep[name]['BatchNorm_2'],
+                       es[name]['BatchNorm_2'])
+            b += 1
+    for n, name in enumerate(['squeeze_0', 'pose_0', 'pose_1', 'pose_2']):
+        pre = 'decoder.net.{}.'.format(n)
+        sd[pre + 'weight'] = _k_inv(p['decoder'][name]['kernel'])
+        sd[pre + 'bias'] = np.asarray(p['decoder'][name]['bias'])
+    return sd

@@ -155,10 +155,17 @@ class Trainer:
                     jnp.asarray, self.resume_state['params']),
                 batch_stats=jax.tree_util.tree_map(
                     jnp.asarray, self.resume_state['batch_stats']),
+                # converted reference checkpoints carry no optimizer state:
+                # keep the freshly-initialized one (fine for eval and for
+                # fine-tune-from-imported-weights)
                 opt_state=jax.tree_util.tree_map(
-                    jnp.asarray, self.resume_state['opt_state']),
-                epoch=jnp.asarray(self.resume_state['epoch'], jnp.int32),
-                step=jnp.asarray(self.resume_state['step'], jnp.int32),
+                    jnp.asarray, self.resume_state['opt_state'])
+                if self.resume_state.get('opt_state') is not None
+                else self.state.opt_state,
+                epoch=jnp.asarray(self.resume_state.get('epoch', 0),
+                                  jnp.int32),
+                step=jnp.asarray(self.resume_state.get('step', 0),
+                                 jnp.int32),
                 ema_params=jax.tree_util.tree_map(
                     jnp.asarray,
                     self.resume_state.get('ema_params') if
@@ -169,7 +176,7 @@ class Trainer:
                 if self.state.ema_params is not None or
                 self.resume_state.get('ema_params') is not None
                 else None)
-            self.current_epoch = int(self.resume_state['epoch'])
+            self.current_epoch = int(self.resume_state.get('epoch', 0))
         self.state = replicate_state(self.state, self.mesh)
         augment_fn = None
         if self.config.tpu.get('device_augment', False):

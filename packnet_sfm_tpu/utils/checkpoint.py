@@ -49,6 +49,18 @@ def load_checkpoint(path):
         ckpts = sorted(p for p in os.listdir(path) if p.endswith('.ckpt'))
         assert ckpts, 'No .ckpt files in {}'.format(path)
         path = os.path.join(path, ckpts[-1])
+    from packnet_sfm_tpu.export.reference_convert import (
+        convert, is_torch_checkpoint)
+    if is_torch_checkpoint(path):
+        # a reference (torch) checkpoint was handed to a CLI: convert it
+        # transparently, caching the result next to the source
+        converted = path + '.tpu.ckpt'
+        if not (os.path.exists(converted) and
+                os.path.getmtime(converted) >= os.path.getmtime(path)):
+            print('[checkpoint] {} is a reference torch checkpoint; '
+                  'converting -> {}'.format(path, converted))
+            convert(path, converted)
+        path = converted
     with open(path, 'rb') as f:
         return pickle.load(f)
 

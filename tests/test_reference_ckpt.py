@@ -116,3 +116,136 @@ def test_reference_format_covers_all_parameters(model_and_vars):
     n_stats = sum(np.asarray(x).size for x in stats_leaves)
     assert n_exported == n_params + n_stats, \
         f'exported {n_exported} vs model {n_params}+{n_stats}'
+
+
+########################################################################################################################
+# PackNet family (reference PackNet01.py flat names, PackNetSAN01.py
+# encoder./decoder. nesting + mconvs + gates, PackNetSlimSAN01.py flat +
+# FiLM mconvs)
+
+from packnet_sfm_tpu.export.torch_import import (  # noqa: E402
+    flax_to_reference_packnet, load_reference_packnet_checkpoint)
+from packnet_sfm_tpu.networks.depth.packnet import (  # noqa: E402
+    PackNet01, PackNetSAN01, PackNetSlim01, PackNetSlimSAN01)
+
+PH, PW = 64, 96
+
+
+def _pn_init(model, key, with_depth):
+    rgb = jnp.zeros((1, PH, PW, 3), jnp.float32)
+    kw = {}
+    if with_depth:
+        kw['input_depth'] = jnp.ones((1, PH, PW, 1), jnp.float32)
+    return model.init(jax.random.PRNGKey(key), rgb, train=True, **kw)
+
+
+def _pn_forward(model, variables, with_depth, seed=0):
+    rng = np.random.RandomState(seed)
+    rgb = jnp.asarray(rng.rand(1, PH, PW, 3).astype(np.float32))
+    kw = {}
+    if with_depth:
+        kw['input_depth'] = jnp.asarray(
+            (rng.rand(1, PH, PW, 1) < 0.06).astype(np.float32) * 12.0)
+    return np.asarray(
+        model.apply(variables, rgb, train=False, **kw)['inv_depths'][0])
+
+
+@pytest.mark.parametrize('cls,with_depth,nested', [
+    (PackNet01, False, False),
+    (PackNetSlim01, False, False),
+    (PackNetSAN01, True, True),
+    (PackNetSlimSAN01, True, False),
+])
+def test_packnet_reference_roundtrip_exact(cls, with_depth, nested):
+    """flax -> reference state_dict -> flax is exact and forward-identical
+    for every PackNet variant, through the checkpoint prefix handling."""
+    import torch
+    model = cls(version='1A')
+    variables = _pn_init(model, 0, with_depth)
+    sd = flax_to_reference_packnet(variables, nested=nested)
+    full_sd = {'model.depth_net.' + k: torch.from_numpy(np.asarray(v).copy())
+               for k, v in sd.items()}
+
+    fresh = _pn_init(model, 7, with_depth)
+    merged = load_reference_packnet_checkpoint(fresh, full_sd)
+    _tree_allclose(
+        jax.tree_util.tree_map(np.asarray, dict(variables['params'])),
+        jax.tree_util.tree_map(np.asarray, dict(merged['params'])))
+    if 'batch_stats' in variables:
+        _tree_allclose(
+            jax.tree_util.tree_map(np.asarray,
+                                   dict(variables['batch_stats'])),
+            jax.tree_util.tree_map(np.asarray, dict(merged['batch_stats'])))
+
+    np.testing.assert_allclose(
+        _pn_forward(model, variables, with_depth),
+        _pn_forward(model, merged, with_depth), atol=0)
+
+
+def test_packnet_reference_covers_all_parameters():
+    """No silently-dropped subtree on export (PackNetSAN01: everything but
+    the bias-free ME convs)."""
+    model = PackNetSAN01(version='1A')
+    variables = _pn_init(model, 1, True)
+    sd = flax_to_reference_packnet(variables, nested=True)
+    n_exported = sum(np.asarray(v).size for v in sd.values())
+    n_params = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            variables['params']):
+        keys = [getattr(p, 'key', '') for p in path]
+        if ('mconvs' in keys and keys[-1] == 'bias'
+                and str(keys[-2]).startswith('Conv_')):
+            continue  # ME convs are bias-free
+        n_params += np.asarray(leaf).size
+    n_stats = sum(np.asarray(x).size for x in
+                  jax.tree_util.tree_leaves(variables['batch_stats']))
+    assert n_exported == n_params + n_stats, \
+        f'exported {n_exported} vs model {n_params}+{n_stats}'
+
+
+def test_packnet_dropout_sequential_conv3_keys_accepted():
+    """Reference ResidualConv wraps conv3 in a Sequential under dropout
+    (layers01.py:65-66) -> conv3.0.* keys must import identically."""
+    model = PackNetSlim01(version='1A')
+    variables = _pn_init(model, 2, False)
+    sd = flax_to_reference_packnet(variables)
+    sd_drop = {}
+    for k, v in sd.items():
+        if '.conv3.' in k:
+            k = k.replace('.conv3.', '.conv3.0.')
+        sd_drop[k] = v
+    merged = load_reference_packnet_checkpoint(
+        _pn_init(model, 9, False), sd_drop)
+    np.testing.assert_allclose(
+        _pn_forward(model, variables, False),
+        _pn_forward(model, merged, False), atol=0)
+
+
+def test_dual_head_reference_roundtrip():
+    """Dual-head ResNetSAN01 checkpoints (interleaved integer/fractional
+    decoder heads, dual_head_depth_decoder.py:88-95) round-trip through the
+    reference format with auto-detection both directions."""
+    model = ResNetSAN01(version='18A', use_dual_head=True, use_film=True,
+                        film_scales=(0,))
+    rgb = jnp.zeros((B, H, W, 3), jnp.float32)
+    d = jnp.ones((B, H, W, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), rgb, input_depth=d,
+                           train=True)
+    sd = flax_to_reference_depth_net(variables)
+    assert any('.17.conv.weight' in k for k in sd), \
+        'dual-head decoder should emit 18 ModuleList entries'
+    fresh = model.init(jax.random.PRNGKey(9), rgb, input_depth=d, train=True)
+    merged = load_reference_checkpoint(fresh, sd)
+    _tree_allclose(
+        jax.tree_util.tree_map(np.asarray, dict(variables['params'])),
+        jax.tree_util.tree_map(np.asarray, dict(merged['params'])))
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    out_a = model.apply(variables, x, train=False)
+    out_b = model.apply(merged, x, train=False)
+    for key in out_a:
+        if key == 'inv_depths':
+            continue
+        np.testing.assert_allclose(np.asarray(out_a[key][0]),
+                                   np.asarray(out_b[key][0]), atol=0)
