@@ -249,3 +249,21 @@ def test_dual_head_reference_roundtrip():
             continue
         np.testing.assert_allclose(np.asarray(out_a[key][0]),
                                    np.asarray(out_b[key][0]), atol=0)
+
+
+def test_depth_resnet_reference_roundtrip():
+    """DepthResNet (monodepth2-style, no SAN) converts through the same
+    encoder/decoder naming (reference DepthResNet.py:30-40)."""
+    from packnet_sfm_tpu.networks.depth.depth_resnet import DepthResNet
+    model = DepthResNet(version='18pt')
+    rgb = jnp.zeros((B, H, W, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), rgb, train=True)
+    sd = flax_to_reference_depth_net(variables)
+    fresh = model.init(jax.random.PRNGKey(5), rgb, train=True)
+    merged = load_reference_checkpoint(fresh, sd)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(model.apply(variables, x, train=False)['inv_depths'][0]),
+        np.asarray(model.apply(merged, x, train=False)['inv_depths'][0]),
+        atol=0)
