@@ -53,8 +53,12 @@ def _install_yacs_stub():
 
 
 def _plain_dict(d):
+    """Recursively strip a (possibly yacs) config to a plain dict; yacs
+    CfgNode stores bookkeeping IN the dict (__immutable__,
+    __deprecated_keys__, ...) — drop those dunder keys."""
     if isinstance(d, dict):
-        return {k: _plain_dict(v) for k, v in d.items()}
+        return {k: _plain_dict(v) for k, v in d.items()
+                if not (isinstance(k, str) and k.startswith('__'))}
     return d
 
 
