@@ -172,3 +172,41 @@ def test_load_checkpoint_autoconverts_torch(tmp_path):
     mtime = os.path.getmtime(str(ref_ckpt) + '.tpu.ckpt')
     load_checkpoint(str(ref_ckpt))
     assert os.path.getmtime(str(ref_ckpt) + '.tpu.ckpt') == mtime
+
+
+def test_infer_cli_on_reference_torch_checkpoint(tmp_path):
+    """The commonest migration path: scripts/infer.py pointed straight at a
+    reference torch .ckpt (auto-converted under the hood) produces depth
+    outputs."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'scripts'))
+    from infer import infer_and_save_depth
+
+    from packnet_sfm_tpu.networks.depth.packnet import PackNetSlim01
+    net = PackNetSlim01(version='1A')
+    rgb = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = net.init({'params': jax.random.PRNGKey(8)}, rgb, train=True)
+    sd = {('model.depth_net.' + k): torch.from_numpy(np.asarray(v).copy())
+          for k, v in flax_to_reference_packnet(variables).items()}
+    ref_cfg = _ref_config()
+    ref_cfg['model']['depth_net'] = {'name': 'PackNetSlim01',
+                                     'version': '1A'}
+    ref_ckpt = tmp_path / 'ref_infer.ckpt'
+    torch.save({'config': ref_cfg, 'epoch': 0, 'state_dict': sd},
+               str(ref_ckpt))
+
+    from PIL import Image
+    img = (np.random.RandomState(0).rand(64, 96, 3) * 255).astype(np.uint8)
+    img_path = tmp_path / 'frame.png'
+    Image.fromarray(img).save(str(img_path))
+
+    out_dir = tmp_path / 'out'
+    infer_and_save_depth(str(ref_ckpt), str(img_path), str(out_dir),
+                         image_shape=(64, 96), save=('npz', 'viz'))
+    outs = os.listdir(str(out_dir))
+    assert any(f.endswith('.npz') for f in outs), outs
+    assert any(f.endswith('.png') for f in outs), outs
+    with np.load(str(out_dir / [f for f in outs
+                                if f.endswith('.npz')][0])) as z:
+        assert z['depth'].shape == (64, 96)
+        assert np.isfinite(z['depth']).all()
