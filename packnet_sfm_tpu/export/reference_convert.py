@@ -16,13 +16,19 @@ resume/fine-tune).
 import sys
 
 
+# legacy (pre-1.6) torch files are a pickle whose first object is the torch
+# MAGIC_NUMBER long 0x1950a86a20f9469cfc6c (torch/serialization.py)
+_TORCH_LEGACY_MAGIC = b'\x80\x02\x8a\nl\xfc\x9cF\xf9 j\xa8P\x19'
+
+
 def is_torch_checkpoint(path):
     """True for torch-format checkpoint files: the >=1.6 zip container
     (PK magic) or a legacy torch pickle (which pickle.load cannot read
-    because of torch persistent ids)."""
+    because of torch persistent ids) — e.g. the published 2019-2020 TRI
+    PackNet01 checkpoints."""
     with open(path, 'rb') as f:
-        magic = f.read(4)
-    return magic[:2] == b'PK'
+        magic = f.read(len(_TORCH_LEGACY_MAGIC))
+    return magic[:2] == b'PK' or magic == _TORCH_LEGACY_MAGIC
 
 
 def _install_yacs_stub():
@@ -109,8 +115,12 @@ def convert(ckpt_path, output, cfg_yaml=None,
         cfg.merge_from_dict(ref_cfg)
     if cfg_yaml:
         cfg.merge_from_file(cfg_yaml)
-    assert ref_cfg or cfg_yaml, \
-        'checkpoint has no config; pass --config <yaml>'
+    assert ref_cfg or cfg_yaml, (
+        'checkpoint carries no config (bare state_dict): convert it '
+        'explicitly with scripts/import_reference_checkpoint.py '
+        '--checkpoint {} --output <out.ckpt> --config <model.yaml> '
+        '(a YAML naming at least model.name/model.depth_net)'.format(
+            ckpt_path))
     cfg.prepared = False
     cfg = prepare_config(cfg)
 
@@ -119,7 +129,8 @@ def convert(ckpt_path, output, cfg_yaml=None,
     model = setup_model(cfg)
     variables = model.init(
         {'params': jax.random.PRNGKey(cfg.arch.seed),
-         'flip': jax.random.PRNGKey(1)},
+         'flip': jax.random.PRNGKey(1),
+         'dropout': jax.random.PRNGKey(2)},
         _dummy_batch(cfg), train=True)
     params = dict(variables['params'])
     stats = dict(variables.get('batch_stats', {}))

@@ -400,10 +400,7 @@ def _mconvs_to_reference(mp, ms, sd, me_kernel_order='first_axis_fastest'):
     """Inverse of _mconvs_from_reference: write reference-named `mconvs.*`
     entries into sd (in place)."""
     def put_bn(pre, bp, bs):
-        sd[pre + 'weight'] = bp['scale']
-        sd[pre + 'bias'] = bp['bias']
-        sd[pre + 'running_mean'] = bs['mean']
-        sd[pre + 'running_var'] = bs['var']
+        _put_ref_bn(sd, pre, bp, bs)
 
     stages = sorted(int(k.split('_')[1]) for k in mp
                     if k.startswith('mconv_'))
@@ -463,6 +460,42 @@ def reference_depth_net_to_flax(sd, num_layers=18,
     return params, stats
 
 
+def _put_ref_bn(sd, pre, bp, bs):
+    """Write one BatchNorm in reference/torchvision naming (incl. the
+    num_batches_tracked buffer torch's strict load_state_dict demands)."""
+    sd[pre + 'weight'] = bp['scale']
+    sd[pre + 'bias'] = bp['bias']
+    sd[pre + 'running_mean'] = bs['mean']
+    sd[pre + 'running_var'] = bs['var']
+    sd[pre + 'num_batches_tracked'] = np.zeros((), np.int64)
+
+
+def _export_tv_encoder(sd, prefix, ep, es, num_layers):
+    """Our flax ResnetEncoder trees -> torchvision naming under `prefix`
+    (shared by the depth-net and pose-net exporters)."""
+    blocks = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3]}[num_layers]
+    sd[prefix + 'conv1.weight'] = _k_inv(ep['Conv_0']['kernel'])
+    _put_ref_bn(sd, prefix + 'bn1.', ep['BatchNorm_0'], es['BatchNorm_0'])
+    b = 0
+    for stage in range(4):
+        for blk in range(blocks[stage]):
+            pre = '{}layer{}.{}.'.format(prefix, stage + 1, blk)
+            name = 'BasicBlock_{}'.format(b)
+            sd[pre + 'conv1.weight'] = _k_inv(ep[name]['Conv_0']['kernel'])
+            _put_ref_bn(sd, pre + 'bn1.', ep[name]['BatchNorm_0'],
+                        es[name]['BatchNorm_0'])
+            sd[pre + 'conv2.weight'] = _k_inv(ep[name]['Conv_1']['kernel'])
+            _put_ref_bn(sd, pre + 'bn2.', ep[name]['BatchNorm_1'],
+                        es[name]['BatchNorm_1'])
+            if 'Conv_2' in ep[name]:
+                sd[pre + 'downsample.0.weight'] = \
+                    _k_inv(ep[name]['Conv_2']['kernel'])
+                _put_ref_bn(sd, pre + 'downsample.1.',
+                            ep[name]['BatchNorm_2'],
+                            es[name]['BatchNorm_2'])
+            b += 1
+
+
 def flax_to_reference_depth_net(variables, num_layers=18,
                                 me_kernel_order='first_axis_fastest'):
     """Inverse of reference_depth_net_to_flax: our flax ResNetSAN01
@@ -470,35 +503,8 @@ def flax_to_reference_depth_net(variables, num_layers=18,
     p = jax_to_np(variables['params'])
     s = jax_to_np(variables.get('batch_stats', {}))
     sd = {}
-
-    def put_tv_bn(pre, bp, bs):
-        sd[pre + 'weight'] = bp['scale']
-        sd[pre + 'bias'] = bp['bias']
-        sd[pre + 'running_mean'] = bs['mean']
-        sd[pre + 'running_var'] = bs['var']
-
-    # encoder -> torchvision names
-    ep, es = p['encoder'], s['encoder']
-    blocks = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3]}[num_layers]
-    sd['encoder.encoder.conv1.weight'] = _k_inv(ep['Conv_0']['kernel'])
-    put_tv_bn('encoder.encoder.bn1.', ep['BatchNorm_0'], es['BatchNorm_0'])
-    b = 0
-    for stage in range(4):
-        for blk in range(blocks[stage]):
-            pre = 'encoder.encoder.layer{}.{}.'.format(stage + 1, blk)
-            name = 'BasicBlock_{}'.format(b)
-            sd[pre + 'conv1.weight'] = _k_inv(ep[name]['Conv_0']['kernel'])
-            put_tv_bn(pre + 'bn1.', ep[name]['BatchNorm_0'],
-                      es[name]['BatchNorm_0'])
-            sd[pre + 'conv2.weight'] = _k_inv(ep[name]['Conv_1']['kernel'])
-            put_tv_bn(pre + 'bn2.', ep[name]['BatchNorm_1'],
-                      es[name]['BatchNorm_1'])
-            if 'Conv_2' in ep[name]:
-                sd[pre + 'downsample.0.weight'] = \
-                    _k_inv(ep[name]['Conv_2']['kernel'])
-                put_tv_bn(pre + 'downsample.1.', ep[name]['BatchNorm_2'],
-                          es[name]['BatchNorm_2'])
-            b += 1
+    _export_tv_encoder(sd, 'encoder.encoder.', p['encoder'], s['encoder'],
+                       num_layers)
 
     dual = 'integer_conv_0' in p['decoder']
     for n, (name, is_block) in enumerate(
@@ -814,6 +820,13 @@ def reference_pose_net_to_flax(sd):
     # PoseResNet
     enc_sd = {k[len('encoder.encoder.'):]: v for k, v in sd.items()
               if k.startswith('encoder.encoder.')}
+    if any(k.startswith('layer1.0.conv3.') for k in enc_sd):
+        # Bottleneck blocks: the reference allows ResNet50 pose encoders but
+        # our flax encoder is BasicBlock-only — fail loud instead of
+        # silently mis-mapping conv1/conv2 and dropping conv3
+        raise ValueError(
+            'ResNet50 (Bottleneck) pose encoders are not supported by the '
+            'flax ResnetEncoder; retrain with 18/34 or extend the encoder')
     num_layers = 34 if any(k.startswith('layer1.2.') for k in enc_sd) else 18
     enc_p, enc_s = torchvision_resnet_to_flax(enc_sd, num_layers,
                                               num_input_images=1)
@@ -848,36 +861,10 @@ def flax_to_reference_pose_net(variables_or_params, batch_stats=None):
         sd['pose_pred.weight'] = _k_inv(p['pose_pred']['kernel'])
         sd['pose_pred.bias'] = np.asarray(p['pose_pred']['bias'])
         return sd
-    # PoseResNet: reuse the ResNetSAN encoder exporter's torchvision naming
+    # PoseResNet: shared torchvision-encoder exporter
     ep, es = p['encoder'], s['encoder']
     num_layers = 34 if 'BasicBlock_8' in ep else 18
-    blocks = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3]}[num_layers]
-
-    def put_bn(pre, bp, bs):
-        sd[pre + 'weight'] = bp['scale']
-        sd[pre + 'bias'] = bp['bias']
-        sd[pre + 'running_mean'] = bs['mean']
-        sd[pre + 'running_var'] = bs['var']
-
-    sd['encoder.encoder.conv1.weight'] = _k_inv(ep['Conv_0']['kernel'])
-    put_bn('encoder.encoder.bn1.', ep['BatchNorm_0'], es['BatchNorm_0'])
-    b = 0
-    for stage in range(4):
-        for blk in range(blocks[stage]):
-            pre = 'encoder.encoder.layer{}.{}.'.format(stage + 1, blk)
-            name = 'BasicBlock_{}'.format(b)
-            sd[pre + 'conv1.weight'] = _k_inv(ep[name]['Conv_0']['kernel'])
-            put_bn(pre + 'bn1.', ep[name]['BatchNorm_0'],
-                   es[name]['BatchNorm_0'])
-            sd[pre + 'conv2.weight'] = _k_inv(ep[name]['Conv_1']['kernel'])
-            put_bn(pre + 'bn2.', ep[name]['BatchNorm_1'],
-                   es[name]['BatchNorm_1'])
-            if 'Conv_2' in ep[name]:
-                sd[pre + 'downsample.0.weight'] = \
-                    _k_inv(ep[name]['Conv_2']['kernel'])
-                put_bn(pre + 'downsample.1.', ep[name]['BatchNorm_2'],
-                       es[name]['BatchNorm_2'])
-            b += 1
+    _export_tv_encoder(sd, 'encoder.encoder.', ep, es, num_layers)
     for n, name in enumerate(['squeeze_0', 'pose_0', 'pose_1', 'pose_2']):
         pre = 'decoder.net.{}.'.format(n)
         sd[pre + 'weight'] = _k_inv(p['decoder'][name]['kernel'])

@@ -11,9 +11,13 @@ TPU re-design of the reference's signature ops
 - ResidualConv/Block                                                (:40-95)
 - InvDepth head = 3x3 conv + sigmoid / min_depth                    (:98-122)
 
-Channel interleave order after the Conv3D flatten differs from torch's
-(c*d+j vs j*C+c) — a fixed permutation absorbed by the following conv's
-weights; irrelevant for from-scratch training, documented for ckpt interop.
+Channel interleave order after the Conv3D flatten is d-major (j*C+c),
+matching the reference's view(b, d*C, h, w) EXACTLY (layers01.py:240-247).
+It must: on the unpack side the consumer is the FIXED pixel shuffle, so a
+c-major order would not be reparameterization-equivalent and reference
+checkpoints could not transport. (Layers trained against the pre-interop
+c-major order are incompatible with current code — that order never
+shipped in a release.)
 """
 
 

@@ -126,7 +126,8 @@ def make_optimizer(optimizer_cfg, scheduler_cfg, steps_per_epoch,
 
 def init_state(model, optimizer, batch, rng, ema=False):
     """Initialize params/batch_stats/opt_state from an example batch."""
-    rngs = {'params': rng, 'flip': jax.random.fold_in(rng, 1)}
+    rngs = {'params': rng, 'flip': jax.random.fold_in(rng, 1),
+            'dropout': jax.random.fold_in(rng, 2)}
     variables = model.init(rngs, batch, train=True)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
@@ -161,7 +162,9 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
         return model.apply(
             {'params': params, 'batch_stats': batch_stats},
             batch, train=True, progress=progress, epoch=epoch,
-            rngs={'flip': rng}, mutable=['batch_stats'])
+            # independent streams for the flip TTA draw and dropout masks
+            rngs={'flip': rng, 'dropout': jax.random.fold_in(rng, 7)},
+            mutable=['batch_stats'])
 
     forward = jax.checkpoint(_forward) if remat else _forward
 

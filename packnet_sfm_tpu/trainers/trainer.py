@@ -150,6 +150,11 @@ class Trainer:
                                 rng, ema=ema_on)
         self._maybe_load_pretrained()
         if self.resume_state is not None:
+            if self.resume_state.get('opt_state') is None:
+                print(pcolor(
+                    '[resume] checkpoint has no optimizer state (converted '
+                    'reference ckpt?): starting with a fresh optimizer',
+                    'yellow'))
             self.state = self.state.replace(
                 params=jax.tree_util.tree_map(
                     jnp.asarray, self.resume_state['params']),

@@ -37,7 +37,10 @@ def save_checkpoint(path, config, state, epoch=None, extra=None):
         payload['ema_params'] = _to_host(state.ema_params)
     if extra:
         payload.update(extra)
-    tmp = path + '.tmp'
+    # pid-unique tmp: concurrent writers (multi-host auto-conversion of the
+    # same reference ckpt on a shared fs) each publish atomically; last
+    # os.replace wins with a valid file either way
+    tmp = '{}.tmp.{}'.format(path, os.getpid())
     with open(tmp, 'wb') as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
     os.replace(tmp, path)

@@ -197,7 +197,6 @@ def test_packnet_torch_mirror_all_conv3d_impls():
     rng = np.random.RandomState(1)
     rgb = rng.rand(1, 32, 32, 3).astype(np.float32)
     default = pn.CONV3D_IMPL
-    outs = {}
     try:
         for impl in ('depthwin2d', 'depthwise', 'conv3d'):
             pn.CONV3D_IMPL = impl
@@ -216,6 +215,5 @@ def test_packnet_torch_mirror_all_conv3d_impls():
                     rgb.transpose(0, 3, 1, 2))))[0].numpy()[:, 0]
             np.testing.assert_allclose(out_jax, out_t, rtol=1e-4,
                                        atol=1e-5)
-            outs[impl] = out_t
     finally:
         pn.CONV3D_IMPL = default

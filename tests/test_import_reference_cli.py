@@ -210,3 +210,24 @@ def test_infer_cli_on_reference_torch_checkpoint(tmp_path):
                                 if f.endswith('.npz')][0])) as z:
         assert z['depth'].shape == (64, 96)
         assert np.isfinite(z['depth']).all()
+
+
+def test_is_torch_checkpoint_detects_both_formats(tmp_path):
+    """Zip-container (>=1.6) AND legacy pre-1.6 torch pickles are detected;
+    our own pickle checkpoints are not."""
+    from packnet_sfm_tpu.export.reference_convert import is_torch_checkpoint
+
+    zip_ckpt = tmp_path / 'zip.ckpt'
+    torch.save({'x': torch.zeros(1)}, str(zip_ckpt))
+    assert is_torch_checkpoint(str(zip_ckpt))
+
+    legacy = tmp_path / 'legacy.ckpt'
+    torch.save({'x': torch.zeros(1)}, str(legacy),
+               _use_new_zipfile_serialization=False)
+    assert is_torch_checkpoint(str(legacy))
+
+    import pickle
+    ours = tmp_path / 'ours.ckpt'
+    with open(str(ours), 'wb') as f:
+        pickle.dump({'params': {}}, f)
+    assert not is_torch_checkpoint(str(ours))

@@ -103,7 +103,8 @@ def test_reference_format_covers_all_parameters(model_and_vars):
     masked-conv zero biases, which MinkowskiEngine convs do not have."""
     model, variables = model_and_vars
     sd = flax_to_reference_depth_net(variables)
-    n_exported = sum(np.asarray(v).size for v in sd.values())
+    n_exported = sum(np.asarray(v).size for k, v in sd.items()
+                     if not k.endswith('num_batches_tracked'))
     leaves = jax.tree_util.tree_leaves_with_path(variables['params'])
     n_params = 0
     for path, leaf in leaves:
@@ -188,7 +189,8 @@ def test_packnet_reference_covers_all_parameters():
     model = PackNetSAN01(version='1A')
     variables = _pn_init(model, 1, True)
     sd = flax_to_reference_packnet(variables, nested=True)
-    n_exported = sum(np.asarray(v).size for v in sd.values())
+    n_exported = sum(np.asarray(v).size for k, v in sd.items()
+                     if not k.endswith('num_batches_tracked'))
     n_params = 0
     for path, leaf in jax.tree_util.tree_leaves_with_path(
             variables['params']):

@@ -317,3 +317,26 @@ def test_remat_grads_exact():
                     jax.tree_util.tree_leaves(s_remat.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_dropout_model_trains_one_step():
+    """dropout > 0 exercises the 'dropout' rng stream through init and the
+    jitted train step (regression: the step previously passed only a 'flip'
+    rng, so any dropout config crashed with InvalidRngError)."""
+    cfg = small_cfg()
+    cfg.model.name = 'SemiSupModel'
+    cfg.model.depth_net.name = 'PackNetSlim01'
+    cfg.model.depth_net.version = '1A'
+    cfg.model.depth_net.dropout = 0.5
+    model = setup_model(cfg)
+    ds = SyntheticDataset(num_samples=2, height=32, width=64)
+    loader = DataLoader(ds, batch_size=2, num_workers=1)
+    batch = to_jnp(next(iter(loader)))
+    batch.pop('idx')
+
+    optimizer = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
+                               steps_per_epoch=10)
+    state = init_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer, donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1), 0.0)
+    assert np.isfinite(float(metrics['loss']))
