@@ -143,6 +143,15 @@ def get_cfg_defaults():
     # TPU addition: fake-quantize sigmoid outputs to uint8 at eval — the
     # measured INT8/NPU output-quantization cost (ops/quantization.py)
     cfg.model.params.int8_outputs = False
+    # TPU addition: eval with per-channel int8 fake-quantized depth-net conv
+    # kernels (weight PTQ on a float checkpoint; QAT validation after qat)
+    cfg.model.params.int8_weights = False
+    # TPU addition: quantization-aware training — '' (off), 'outputs',
+    # 'weights', or 'weights+outputs'. Straight-through fake-quant of the
+    # head sigmoids / depth-net conv kernels inside the train step, so the
+    # network learns weights robust to the NPU's INT8 grid
+    # (ops/quantization.py; the reference only validates INT8 post-hoc)
+    cfg.model.params.qat = ''
 
     # ------------------------------------------------------------------- arch
     cfg.arch = CN()

@@ -23,6 +23,7 @@ gather-heavy warp is the Pallas-kernel candidate (ops/pallas).
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from packnet_sfm_tpu.geometry.camera import Camera, FisheyeCamera, scale_intrinsics
@@ -135,8 +136,13 @@ class MultiViewPhotometricLoss:
             else:
                 photo = jnp.abs(est - img)
             if self.clip_loss > 0.0:
-                mean, std = photo.mean(), photo.std()
-                photo = jnp.clip(photo, a_max=mean + self.clip_loss * std)
+                # the reference detaches the bound (float(mean + c*std),
+                # multiview_photometric_loss.py:249-253) — clipped pixels get
+                # ZERO gradient, the bound itself carries none; torch .std()
+                # is unbiased (ddof=1)
+                mean, std = photo.mean(), photo.std(ddof=1)
+                bound = jax.lax.stop_gradient(mean + self.clip_loss * std)
+                photo = jnp.minimum(photo, bound)
             if m is not None:
                 photo = photo * m
             out.append(photo.astype(jnp.float32) if lowp else photo)

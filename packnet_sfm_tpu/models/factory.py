@@ -139,6 +139,7 @@ def setup_model(config, prepared=True):
             consistency_loss_weight=loss_cfg.consistency_loss_weight,
             min_depth=min_d, max_depth=max_d,
             use_log_space=params_cfg.use_log_space,
+            qat_outputs='outputs' in str(params_cfg.get('qat', '')),
             dual_head_loss=DualHeadDepthLoss(
                 max_depth=max_d, min_depth=min_d,
                 integer_weight=loss_cfg.get('integer_weight', 1.0),

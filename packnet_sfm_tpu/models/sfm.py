@@ -178,6 +178,12 @@ class SemiSupCompletionModel(SelfSupModel):
     min_depth: float = 0.5
     max_depth: float = 80.0
     use_log_space: bool = False
+    # QAT: straight-through uint8 fake-quant of the head sigmoids before
+    # depth conversion — trains the network against the INT8 output grid
+    # the NPU deploys (ops/quantization.py; model.params.qat 'outputs').
+    # Mirrors exactly where the eval protocol applies fake_quant_u8
+    # (parallel/train_step.py make_eval_metrics_step int8_outputs).
+    qat_outputs: bool = False
     supervised_loss: SupervisedLoss = SupervisedLoss()
     dual_head_loss: Optional[DualHeadDepthLoss] = None
 
@@ -190,6 +196,9 @@ class SemiSupCompletionModel(SelfSupModel):
                          depth)
 
     def _bounded(self, sigmoids):
+        if self.qat_outputs:
+            from packnet_sfm_tpu.ops.quantization import ste_quant_u8
+            sigmoids = [ste_quant_u8(s) for s in sigmoids]
         return [sigmoid_to_inv_depth(s, self.min_depth, self.max_depth,
                                      self.use_log_space) for s in sigmoids]
 
@@ -218,8 +227,12 @@ class SemiSupCompletionModel(SelfSupModel):
             # dual-head outputs: ('integer', i)/('fractional', i)
             dh = self.dual_head_loss or DualHeadDepthLoss(
                 max_depth=self.max_depth, min_depth=self.min_depth)
-            sup = dh({k: v for k, v in output.items()
-                      if isinstance(k, tuple)}, gt, progress=progress)
+            heads = {k: v for k, v in output.items()
+                     if isinstance(k, tuple)}
+            if self.qat_outputs:
+                from packnet_sfm_tpu.ops.quantization import ste_quant_u8
+                heads = {k: ste_quant_u8(v) for k, v in heads.items()}
+            sup = dh(heads, gt, progress=progress)
         loss = loss + self.supervised_loss_weight * sup['loss']
         metrics.update(sup['metrics'])
 

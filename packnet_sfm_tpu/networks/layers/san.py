@@ -27,9 +27,10 @@ TPU performance notes (round 3):
   BatchNorm uses. The previous two-pass (mean, then (x-mean)^2) serialized
   two full HBM sweeps per BN and was 25% of the flagship step's device time
   (BENCH_NOTES round-2 profile).
-- masked_max_pool is an explicit 9-way strided-slice maximum instead of
-  lax.reduce_window: identical forward, but the backward differentiates to
-  cheap pad+select chains instead of XLA:TPU's slow select_and_scatter.
+- masked_max_pool uses lax.reduce_window (see its docstring: the 9-way
+  strided-slice alternative was A/B'd in round 3 and lost, 37.2 vs
+  23.0 ms/step — select_and_scatter in the backward is NOT the
+  bottleneck at these shapes; keep reduce_window).
 
 Structure matched to the reference:
 - MinkConv2D: optional pool(3, s2) -> 3 parallel conv stacks (1/2/3 convs) ->

@@ -116,6 +116,10 @@ def _grid_sample_xla(image, grid, padding_mode='zeros'):
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
+    # Same floor-fusion MISCOMPILE GUARD as _gs_patches below: this path is
+    # live as the image-cotangent branch of the custom VJP (and as the CPU
+    # oracle), so it needs the same pin on the shared floor() result.
+    x0, y0 = jax.lax.optimization_barrier((x0, y0))
     x1 = x0 + 1.0
     y1 = y0 + 1.0
     wx1 = x - x0
@@ -237,10 +241,11 @@ def _gs_derivs(p00, p01, p10, p11, wx, wy):
 # tensors across the violation lax.cond and LOST end-to-end (145.8 vs
 # ~125 ms/step selfsup) despite a 3x isolated win — the cond boundary
 # materialized ~500 MB/step of fp32 taps and blocked XLA from fusing taps
-# into the photometric chain. The current structure computes the COMBINED
-# warped image inside each cond branch (only [B,Ho,Wo,C] crosses), saves
-# (image, grid) as the only residuals, and re-runs the kernel in the
-# backward to rebuild the taps for the analytic coordinate gradient.
+# into the photometric chain. The current structure computes the combined
+# warped image AND the two analytic derivative maps inside each cond branch
+# (three [B,Ho,Wo,C] tensors cross, not six), saves (image, grid, A, B) as
+# residuals, and the backward is pure elementwise math over A/B — the
+# kernel is never re-run.
 WARP_IMPL = 'xla'
 
 
@@ -300,11 +305,10 @@ def grid_sample(image, grid, padding_mode='zeros'):
     — 7.1 ms per full-res warp at B8 192x640 — and the naive autodiff
     re-gathers for the coordinate gradient and SCATTERS for the image
     gradient). Eligible TPU shapes route to the Pallas matmul-gather kernel
-    (ops/pallas/warp.py) and save only (image, grid) as residuals: the
-    backward re-runs the kernel to rebuild the taps, then computes the
-    coordinate cotangent as pure elementwise math. The XLA path gathers the
-    4 taps ONCE, saves them as residuals — zero gathers, zero scatters in
-    its backward. The image cotangent (rare: warped sources are data, not
+    (ops/pallas/warp.py); BOTH backends combine the taps in the forward and
+    save (image, grid) plus the two analytic derivative maps (A, B) as
+    residuals, so the backward's coordinate cotangent is pure elementwise
+    math — zero gathers, zero scatters, no kernel re-run. The image cotangent (rare: warped sources are data, not
     activations, in every loss here) falls back to autodiff of the
     plain-XLA formulation and is dead-code eliminated when unused.
     """

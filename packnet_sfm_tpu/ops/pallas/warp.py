@@ -166,6 +166,11 @@ def warp_plan(image_shape, grid, padding_mode='zeros'):
         y = jnp.clip(y, 0.0, H - 1)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
+    # Same MISCOMPILE GUARD as ops/image.py _gs_patches: XLA:TPU can fuse
+    # floor() into both the index computation (xc/yc below) and the
+    # fractions and diverge the two copies (wx == 0.5 at ~40% of pixels;
+    # scripts/repro_xla_gather_miscompile.py). Pin one floor result.
+    x0, y0 = jax.lax.optimization_barrier((x0, y0))
     wx = (x - x0).astype(jnp.float32)
     wy = (y - y0).astype(jnp.float32)
 

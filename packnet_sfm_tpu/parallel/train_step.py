@@ -141,7 +141,7 @@ def init_state(model, optimizer, batch, rng, ema=False):
 
 def make_train_step(model, optimizer, mesh=None, donate=True,
                     augment_fn=None, static_progress=False, ema_decay=0.0,
-                    remat=False):
+                    remat=False, qat_weights=False):
     """
     Build the jitted train step:
         (state, batch, rng, progress) -> (state, metrics)
@@ -156,9 +156,19 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
     recomputes activations instead of storing them — ~1.3x FLOPs for a
     large cut in peak HBM (the lever for activation-bound OOMs like the
     literal-conv3d PackNet at bs8; tpu.remat in the config).
+
+    `qat_weights=True` (model.params.qat contains 'weights') applies
+    per-channel int8 fake-quantization with a straight-through gradient to
+    every depth-net conv kernel before the forward: the optimizer updates
+    LATENT float weights while forward/backward see the INT8 grid the NPU
+    deploys (ops/quantization.py). Checkpoints stay float.
     """
 
     def _forward(params, batch_stats, batch, rng, progress, epoch):
+        if qat_weights:
+            from packnet_sfm_tpu.ops.quantization import (
+                quantize_depth_net_params)
+            params = quantize_depth_net_params(params)
         return model.apply(
             {'params': params, 'batch_stats': batch_stats},
             batch, train=True, progress=progress, epoch=epoch,
@@ -220,19 +230,27 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
                    static_argnums=static_argnums)
 
 
-def make_eval_step(model, mesh=None):
+def make_eval_step(model, mesh=None, int8_weights=False):
     """Jitted eval forward: (state, batch) -> model outputs (no grads).
 
     With a mesh, outputs are pinned replicated so downstream host fetches
     see one logical array regardless of the batch's input sharding.
     Dual-head outputs mix tuple keys like ('integer', 0) with str keys,
     which a jitted pytree cannot sort — keys are string-encoded inside the
-    program and decoded on the way out."""
+    program and decoded on the way out.
+
+    `int8_weights` runs the forward over per-channel int8 fake-quantized
+    depth-net conv kernels (weight PTQ measurement / QAT validation)."""
     SEP = '\x1f'
 
     def eval_step(state, batch):
+        params = state.params
+        if int8_weights:
+            from packnet_sfm_tpu.ops.quantization import (
+                quantize_depth_net_params)
+            params = quantize_depth_net_params(params)
         out = model.apply(
-            {'params': state.params, 'batch_stats': state.batch_stats},
+            {'params': params, 'batch_stats': state.batch_stats},
             batch, train=False)
         return {SEP.join(str(p) for p in k) if isinstance(k, tuple) else k: v
                 for k, v in out.items()}
@@ -254,7 +272,7 @@ def make_eval_step(model, mesh=None):
 
 
 def make_eval_metrics_step(model, params_cfg, flip_tta=False,
-                           int8_outputs=False):
+                           int8_outputs=False, int8_weights=False):
     """
     ONE jitted program for the whole per-batch eval protocol: forward
     (+ the flip-TTA second forward folded in), sigmoid->depth conversions,
@@ -268,6 +286,9 @@ def make_eval_metrics_step(model, params_cfg, flip_tta=False,
     NPU-deployment error analysis (ops/quantization.py; reference
     docs/quantization/ST2 dual-head study): eval once with and once
     without it and the metric delta IS the INT8 output-quantization cost.
+    `int8_weights` additionally fake-quantizes the depth-net conv kernels
+    per-channel (the full INT8-deployment measurement; after QAT training
+    this scores exactly what the train step optimized).
 
     Returns step(state, batch) -> {mode: [7] metric vector}. `batch` must
     contain 'depth' (GT).
@@ -284,8 +305,13 @@ def make_eval_metrics_step(model, params_cfg, flip_tta=False,
     use_log = bool(params_cfg.get('use_log_space', False))
 
     def forward(state, batch):
+        params = state.params
+        if int8_weights:
+            from packnet_sfm_tpu.ops.quantization import (
+                quantize_depth_net_params)
+            params = quantize_depth_net_params(params)
         return model.apply(
-            {'params': state.params, 'batch_stats': state.batch_stats},
+            {'params': params, 'batch_stats': state.batch_stats},
             batch, train=False)
 
     def step(state, batch):

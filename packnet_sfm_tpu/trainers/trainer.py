@@ -208,8 +208,15 @@ class Trainer:
             static_progress=self._progressive > 0.0,
             ema_decay=float(self.config.model.optimizer.get(
                 'ema_decay', 0.0)),
-            remat=bool(self.config.tpu.get('remat', False)))
-        self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+            remat=bool(self.config.tpu.get('remat', False)),
+            qat_weights='weights' in str(
+                self.config.model.params.get('qat', '')))
+        self.eval_step = make_eval_step(
+            self.model, mesh=self.mesh,
+            # QAT-on-weights models must be validated/monitored on the
+            # quantized weights they deploy with
+            int8_weights='weights' in str(
+                self.config.model.params.get('qat', '')))
         self._metrics_step_cache = {}
         self._quick_eval_iter = None
 
@@ -227,11 +234,13 @@ class Trainer:
         VERDICT round-1 weak #6)."""
         from packnet_sfm_tpu.parallel.train_step import make_eval_metrics_step
         key = (bool(self.config.model.params.get('flip_tta', False)),
-               bool(self.config.model.params.get('int8_outputs', False)))
+               bool(self.config.model.params.get('int8_outputs', False)),
+               bool(self.config.model.params.get('int8_weights', False)) or
+               'weights' in str(self.config.model.params.get('qat', '')))
         if key not in self._metrics_step_cache:
             self._metrics_step_cache[key] = make_eval_metrics_step(
                 self.model, self.config.model.params, flip_tta=key[0],
-                int8_outputs=key[1])
+                int8_outputs=key[1], int8_weights=key[2])
         return self._metrics_step_cache[key]
 
     def _quantize_progress(self, progress):

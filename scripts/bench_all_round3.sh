@@ -1,0 +1,28 @@
+#!/bin/bash
+# One-shot chip session for the round-3 unbenched work. Run the moment the
+# TPU tunnel is back up. Logs everything under /tmp/bench_r3/.
+#
+# Measures, in priority order:
+#  1. bench.py              — headline selfsup_kitti (warp-v2 + fused
+#                             multi-scale warp, UNBENCHED) + flagship
+#  2. bench_packnet.py      — PackNet01 conv3d impl A/B (depthwise NEW)
+#  3. bench_suite.py        — PackNet01 / slim-FiLM / eval FPS workloads
+#  4. bench_selfsup_breakdown.py — only worth reading if (1) < 110 img/s
+set -u
+cd "$(dirname "$0")/.."
+OUT=/tmp/bench_r3
+mkdir -p "$OUT"
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* ==="
+  timeout 3600 "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
+  echo "rc=$? (see $OUT/$name.{out,err})"
+  tail -5 "$OUT/$name.out"
+}
+
+run bench       python bench.py
+run packnet_ab  python scripts/bench_packnet.py depthwin2d depthwise
+run suite       python bench_suite.py --iters 15
+run breakdown   python scripts/bench_selfsup_breakdown.py
+echo "all done: $(ls $OUT)"

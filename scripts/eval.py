@@ -22,6 +22,11 @@ def parse_args():
     parser.add_argument('--int8', action='store_true',
                         help='fake-quantize outputs to uint8: measures the '
                              'INT8/NPU output-quantization metric cost')
+    parser.add_argument('--int8-weights', action='store_true',
+                        help='fake-quantize depth-net conv kernels '
+                             '(per-channel symmetric int8): weight PTQ '
+                             'measurement, or QAT validation after '
+                             'model.params.qat training')
     parser.add_argument('--save_folder', default='',
                         help='dump per-sample outputs (depth npz/png, rgb, '
                              'viz) under this folder, per cfg.save.depth '
@@ -32,7 +37,7 @@ def parse_args():
 
 
 def test(ckpt_file, cfg_file=None, half=False, int8=False,
-         save_folder=''):
+         save_folder='', int8_weights=False):
     from packnet_sfm_tpu.config import parse_test_file
     from packnet_sfm_tpu.trainers.trainer import Trainer
 
@@ -44,6 +49,8 @@ def test(ckpt_file, cfg_file=None, half=False, int8=False,
         config.tpu.compute_dtype = 'bfloat16'
     if int8:
         config.model.params.int8_outputs = True
+    if int8_weights:
+        config.model.params.int8_weights = True
     trainer = Trainer(config, resume_state=state)
     loader = trainer._make_loader('test')
     assert loader is not None, 'No test dataset configured'
@@ -60,4 +67,4 @@ if __name__ == '__main__':
         from packnet_sfm_tpu.utils.hostjax import force_cpu
         force_cpu()
     test(args.checkpoint, args.config, args.half, args.int8,
-         args.save_folder)
+         args.save_folder, args.int8_weights)

@@ -268,3 +268,44 @@ def test_progressive_ssi_jit_safe_with_traced_epoch():
     v20 = float(f(jnp.asarray(20, jnp.int32)))
     assert np.isfinite(v0) and np.isfinite(v20)
     assert v0 != v20  # schedule actually changes the mix
+
+
+def test_clip_loss_bound_is_detached():
+    """clip_loss semantics (reference multiview_photometric_loss.py:249-253):
+    the clamp bound is DETACHED (float() in torch), so clipped elements get
+    zero gradient and the bound routes no cotangent back through mean/std
+    into the rest of the map.
+
+    Sharp assertion: with pure L1 (per-channel map, like the reference) the
+    loss gradient w.r.t. the TARGET image is elementwise either ZERO (that
+    channel's photo value was clipped) or EQUAL to the unclipped gradient.
+    A traced (undetached) bound would instead shift EVERY element through
+    the mean/std cotangent."""
+    rng = np.random.RandomState(3)
+    image0 = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    context = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    vec = np.zeros((B, 6), np.float32)
+    vec[:, 0] = 0.2
+    pose = Pose.from_vec(jnp.asarray(vec))
+    kw = dict(photometric_reduce_op='mean', automask_loss=False,
+              smooth_loss_weight=0.0, num_scales=1, ssim_loss_weight=0.0)
+    sig = make_sigmoids(rng, n=1)[0]
+
+    def loss_with(clip, img):
+        fn = MultiViewPhotometricLoss(clip_loss=clip, **kw)
+        return fn(img, [context], [sig], [pose], K=make_K())['loss']
+
+    gc = np.asarray(jax.grad(lambda im: loss_with(1.0, im))(image0))
+    gr = np.asarray(jax.grad(lambda im: loss_with(0.0, im))(image0))
+    assert np.all(np.isfinite(gc))
+    zeroed = np.abs(gc) <= 1e-12
+    kept = ~zeroed
+    # the clip must actually bind on this data (some channels zeroed, the
+    # value strictly below the unclipped loss)
+    assert zeroed.any() and kept.any()
+    assert float(loss_with(1.0, image0)) < float(loss_with(0.0, image0))
+    # surviving elements are bit-identical to the unclipped gradient —
+    # nothing leaked through the (detached) bound
+    np.testing.assert_allclose(gc[kept], gr[kept], rtol=1e-5, atol=1e-8)
+    # zeroed elements correspond to genuinely nonzero unclipped gradients
+    assert np.abs(gr[zeroed]).max() > 1e-4

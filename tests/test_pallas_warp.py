@@ -102,9 +102,10 @@ def test_grid_sample_dispatch_bf16_value_parity(monkeypatch):
 
 @pytest.mark.parametrize('big_flow', [False, True])
 def test_grid_sample_dispatch_value_and_grad_parity(big_flow, monkeypatch):
-    """The fused-combine dispatch (kernel inside the violation cond, only
-    the warped image across the boundary; backward rebuilds taps by
-    re-running the kernel) must match the pure-XLA path in value AND
+    """The fused-combine dispatch (kernel inside the violation cond; the
+    warped image + the two analytic derivative maps cross the boundary,
+    backward is elementwise over them) must match the pure-XLA path in
+    value AND
     coordinate gradient — both when the kernel runs (smooth flow) and when
     the violation cond falls back (big_flow)."""
     import packnet_sfm_tpu.ops.pallas.warp as warp_mod
