@@ -186,6 +186,21 @@ def main():
     B, H, W = 8, 192, 640
     rng = np.random.RandomState(0)
 
+    def guarded(name, cfg, batch):
+        # one workload failing (compile/runtime) must not cost the other's
+        # JSON line — the driver records whatever this process prints
+        try:
+            _run_workload(name, cfg, batch)
+        except Exception as e:  # noqa: BLE001
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            print(json.dumps({
+                'metric': 'train_images_per_sec_per_chip_192x640_{}'.format(
+                    name),
+                'value': 0, 'unit': 'error', 'vs_baseline': 0.0,
+                'reason': '{}: {}'.format(type(e).__name__, str(e)[:200])}))
+            sys.stdout.flush()
+
     # -- workload 1: self-supervised KITTI path (north-star cost center) ----
     cfg = _base_cfg()
     cfg.model.depth_net.use_film = True
@@ -196,7 +211,7 @@ def main():
     cfg.model.loss.photometric_reduce_op = 'min'
     cfg.tpu.photometric_dtype = 'bfloat16'
     batch = _rand_batch(rng, B, H, W, lidar=True, contexts=2)
-    _run_workload('selfsup_kitti', cfg, batch)
+    guarded('selfsup_kitti', cfg, batch)
 
     # -- workload 2 (headline, printed last): supervised completion --------
     cfg = _base_cfg()
@@ -205,7 +220,7 @@ def main():
     cfg.model.loss.supervised_method = 'sparse-ssi-silog'
     cfg.model.loss.supervised_loss_weight = 1.0
     batch = _rand_batch(rng, B, H, W, lidar=True, contexts=0)
-    _run_workload('resnetsan01', cfg, batch)
+    guarded('resnetsan01', cfg, batch)
 
 
 if __name__ == '__main__':
