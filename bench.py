@@ -186,11 +186,11 @@ def main():
     B, H, W = 8, 192, 640
     rng = np.random.RandomState(0)
 
-    def guarded(name, cfg, batch):
+    def guarded(name, cfg, batch, **kw):
         # one workload failing (compile/runtime) must not cost the other's
         # JSON line — the driver records whatever this process prints
         try:
-            _run_workload(name, cfg, batch)
+            _run_workload(name, cfg, batch, **kw)
         except Exception as e:  # noqa: BLE001
             import traceback
             traceback.print_exc(file=sys.stderr)
@@ -212,6 +212,18 @@ def main():
     cfg.tpu.photometric_dtype = 'bfloat16'
     batch = _rand_batch(rng, B, H, W, lidar=True, contexts=2)
     guarded('selfsup_kitti', cfg, batch)
+
+    # -- workload 1b: same step, Pallas matmul-gather warp kernel ----------
+    # On-chip A/B for the opt-in warp backend (3.0x isolated, previously
+    # LOST in-step to cond-boundary tap materialization — the rebuilt
+    # in-cond combine+derivative structure is unmeasured; ops/image.py
+    # WARP_IMPL notes). Guarded: a kernel failure costs only this line.
+    from packnet_sfm_tpu.ops import image as image_ops
+    image_ops.WARP_IMPL = 'auto'
+    try:
+        guarded('selfsup_kitti_pallaswarp', cfg, batch, windows=3, iters=10)
+    finally:
+        image_ops.WARP_IMPL = 'xla'
 
     # -- workload 2 (headline, printed last): supervised completion --------
     cfg = _base_cfg()

@@ -64,6 +64,21 @@ def interpolate(image, shape, mode='bilinear', align_corners=True):
     if (h, w) == (H, W):
         return image
     if mode == 'nearest':
+        # Integer-ratio fast paths (the hot cases: 2^k pyramid scales, e.g.
+        # upsample_depth_maps and mask match_scales). torch 'nearest' picks
+        # src = floor(i * in/out); for out = r*in that is an exact r-fold
+        # repeat, for in = r*out an exact stride-r subsample — both
+        # expressible WITHOUT a gather. TPU gathers are index-bound
+        # (~ms per million indices) and their autodiff transpose is a
+        # scatter; broadcast/reshape and strided slices cost ~nothing and
+        # transpose to cheap reductions/pads.
+        if H % h == 0 and W % w == 0:
+            ry, rx = H // h, W // w
+            rep = jnp.broadcast_to(image[:, :, None, :, None, :],
+                                   (B, h, ry, w, rx, C))
+            return rep.reshape(B, H, W, C)
+        if h % H == 0 and w % W == 0:
+            return image[:, ::h // H, ::w // W]
         ys = jnp.floor(jnp.arange(H) * (h / H)).astype(jnp.int32)
         xs = jnp.floor(jnp.arange(W) * (w / W)).astype(jnp.int32)
         return image[:, ys][:, :, xs]

@@ -32,7 +32,11 @@ def rng():
 
 @pytest.mark.parametrize('mode,align', [
     ('bilinear', True), ('bilinear', False), ('nearest', None)])
-@pytest.mark.parametrize('shape', [(17, 31), (64, 96), (7, 5)])
+@pytest.mark.parametrize('shape', [
+    (17, 31), (64, 96), (7, 5),
+    # integer-ratio nearest fast paths (broadcast-repeat / strided-slice —
+    # no gather): exact up, exact down, mixed (falls back to gather)
+    (48, 80), (96, 160), (12, 20), (6, 10), (48, 31), (12, 160)])
 def test_interpolate_matches_torch(rng, mode, align, shape):
     x = rng.randn(2, 24, 40, 3).astype(np.float32)
     kwargs = {} if mode == 'nearest' else {'align_corners': align}
