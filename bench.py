@@ -96,6 +96,47 @@ def _run_workload(name, cfg, batch_np, windows=4, iters=15):
     sys.stdout.flush()
 
 
+def _run_eval_fps(name, cfg, batch_np, iters=30, windows=3,
+                  baseline_fps=120.0):
+    """Inference forward FPS (the reference's headline: 120 FPS FP32 on an
+    RTX 3090 at 640x384, BASELINE.md). Value-fetch sync like the train
+    workloads."""
+    import jax
+    import jax.numpy as jnp
+    from packnet_sfm_tpu.models import setup_model
+
+    model = setup_model(cfg)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'flip': jax.random.PRNGKey(1)}, batch, train=True)
+
+    @jax.jit
+    def fwd(rgb, d):
+        out = model.apply(variables, {'rgb': rgb, 'input_depth': d},
+                          train=False)
+        return out['inv_depths'][0]
+
+    rgb, d = batch['rgb'], batch['input_depth']
+    B = rgb.shape[0]
+    out = fwd(rgb, d)
+    float(out.ravel()[0])
+    times = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(rgb, d)
+        float(out.ravel()[0])
+        times.append((time.perf_counter() - t0) / iters)
+    fps = B / min(times)
+    print('[bench:{}] windows (img/s): {}'.format(
+        name, ' '.join('{:.0f}'.format(B / t) for t in times)),
+        file=sys.stderr)
+    print(json.dumps({
+        'metric': name, 'value': round(fps, 2), 'unit': 'img/s',
+        'vs_baseline': round(fps / baseline_fps, 3)}))
+    sys.stdout.flush()
+
+
 def _base_cfg():
     from packnet_sfm_tpu.config import get_cfg_defaults
     cfg = get_cfg_defaults()
@@ -224,6 +265,19 @@ def main():
         guarded('selfsup_kitti_pallaswarp', cfg, batch, windows=3, iters=10)
     finally:
         image_ops.WARP_IMPL = 'xla'
+
+    # -- workload 1c: inference FPS vs the reference's 120 FPS headline ----
+    cfg = _base_cfg()
+    cfg.model.depth_net.use_film = True
+    cfg.model.pose_net.name = ''
+    try:
+        ebatch = _rand_batch(np.random.RandomState(2), 1, 384, 640,
+                             lidar=True, contexts=0)
+        _run_eval_fps('eval_fps_384x640_b1', cfg, ebatch)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({'metric': 'eval_fps_384x640_b1', 'value': 0,
+                          'unit': 'error', 'vs_baseline': 0.0,
+                          'reason': str(e)[:200]}))
 
     # -- workload 2 (headline, printed last): supervised completion --------
     cfg = _base_cfg()

@@ -57,3 +57,21 @@ def test_bench_workload_one_step(selfsup):
     state, metrics = step(state, dev, jax.random.PRNGKey(1), 0.0)
     assert np.isfinite(float(metrics['loss']))
     assert int(state.step) == 1
+
+
+def test_bench_eval_fps_workload_runs(capsys):
+    """_run_eval_fps end-to-end at tiny shapes (the inference-FPS bench
+    line vs the reference's 120 FPS RTX-3090 headline)."""
+    import json
+    cfg = bench._base_cfg()
+    cfg.tpu.compute_dtype = 'float32'
+    cfg.model.depth_net.san_row_window = 0.5
+    cfg.model.pose_net.name = ''
+    batch = bench._rand_batch(np.random.RandomState(2), 1, 64, 96,
+                              lidar=True, contexts=0)
+    bench._run_eval_fps('eval_fps_test', cfg, batch, iters=2, windows=1)
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith('{')][-1]
+    rec = json.loads(line)
+    assert rec['metric'] == 'eval_fps_test'
+    assert rec['value'] > 0 and rec['unit'] == 'img/s'
