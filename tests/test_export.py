@@ -159,6 +159,50 @@ def test_eval_metric_parity_jax_vs_torch_mirror(trained_variables):
         (abs_rel_jax, abs_rel_torch)
 
 
+KITTI_SAMPLE = '/root/reference/media/tests/kitti.png'
+
+
+@pytest.mark.skipif(not __import__('os').path.exists(KITTI_SAMPLE),
+                    reason='reference sample image not available')
+def test_eval_metric_parity_on_real_kitti_image(trained_variables):
+    """Same weights-in => numbers-out chain on REAL KITTI pixels (the
+    reference repo's own test image, media/tests/kitti.png) instead of
+    random noise: real image statistics exercise the BN/ELU ranges the
+    synthetic fixture can't."""
+    from PIL import Image
+    from packnet_sfm_tpu.ops.depth import compute_depth_metrics
+    net, variables = trained_variables
+
+    img = Image.open(KITTI_SAMPLE).convert('RGB').resize(
+        (64, 32), Image.LANCZOS)
+    rgb = (np.asarray(img, np.float32) / 255.0)[None]
+    rng = np.random.RandomState(5)
+    gt = (rng.rand(1, 32, 64, 1) * 14 + 0.6).astype(np.float32)
+    gt *= (rng.rand(1, 32, 64, 1) < 0.3)
+
+    @jax.jit
+    def run(rgb):
+        out = net.apply(variables, rgb, train=False)
+        return inv2depth(sigmoid_to_inv_depth(out['inv_depths'][0],
+                                              0.5, 15.0))
+    m_jax = compute_depth_metrics(
+        jnp.asarray(gt), run(jnp.asarray(rgb)), min_depth=0.5,
+        max_depth=15.0, crop='', use_gt_scale=False)
+    abs_rel_jax = float(m_jax[0])
+
+    tnet = load_resnet_san_into_torch(variables, num_layers=18,
+                                      min_depth=0.5, max_depth=15.0)
+    with torch.no_grad():
+        depth_t = tnet(torch.from_numpy(rgb.transpose(0, 3, 1, 2)))
+    depth_t = depth_t.numpy().transpose(0, 2, 3, 1)
+    g, p = gt[0, ..., 0], depth_t[0, ..., 0]
+    valid = (g > 0.5) & (g < 15.0)
+    abs_rel_torch = float(np.mean(
+        np.abs(g[valid] - np.clip(p[valid], 0.5, 15.0)) / g[valid]))
+    assert abs(abs_rel_jax - abs_rel_torch) < 1e-3, \
+        (abs_rel_jax, abs_rel_torch)
+
+
 def test_packnet_torch_mirror_forward_parity():
     """PackNet01 flax forward == the torch mirror on transported weights —
     proves the d-major conv3d flatten order matches the reference's
