@@ -266,7 +266,14 @@ def main():
     finally:
         image_ops.WARP_IMPL = 'xla'
 
-    # -- workload 1c: inference FPS vs the reference's 120 FPS headline ----
+    # -- workload 1c: selfsup at bs16 — img/s/chip is measured at OUR
+    # batch choice; a bigger batch may saturate the MXU better if HBM
+    # fits (guarded: an OOM costs only this line) ----------------------
+    batch16 = _rand_batch(np.random.RandomState(1), 16, H, W,
+                          lidar=True, contexts=2)
+    guarded('selfsup_kitti_bs16', cfg, batch16, windows=2, iters=8)
+
+    # -- workload 1d: inference FPS vs the reference's 120 FPS headline ----
     cfg = _base_cfg()
     cfg.model.depth_net.use_film = True
     cfg.model.pose_net.name = ''
