@@ -211,38 +211,7 @@ def _probe_backend(timeout=600):
     return False
 
 
-def main():
-    import jax
-    import os
-    if not _probe_backend():
-        return 1
-    # repo-local persistent cache: tunnel compiles of the two workloads are
-    # minutes-scale (measured 20+ min on a cold, loaded tunnel) and /tmp
-    # does not survive VM restarts — the repo does.
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         '.jax_tpu_cache')
-    jax.config.update('jax_compilation_cache_dir', cache)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
-
-    B, H, W = 8, 192, 640
-    rng = np.random.RandomState(0)
-
-    def guarded(name, cfg, batch, **kw):
-        # one workload failing (compile/runtime) must not cost the other's
-        # JSON line — the driver records whatever this process prints
-        try:
-            _run_workload(name, cfg, batch, **kw)
-        except Exception as e:  # noqa: BLE001
-            import traceback
-            traceback.print_exc(file=sys.stderr)
-            print(json.dumps({
-                'metric': 'train_images_per_sec_per_chip_192x640_{}'.format(
-                    name),
-                'value': 0, 'unit': 'error', 'vs_baseline': 0.0,
-                'reason': '{}: {}'.format(type(e).__name__, str(e)[:200])}))
-            sys.stdout.flush()
-
-    # -- workload 1: self-supervised KITTI path (north-star cost center) ----
+def _selfsup_cfg():
     cfg = _base_cfg()
     cfg.model.depth_net.use_film = True
     cfg.model.pose_net.name = 'PoseNet'
@@ -251,49 +220,146 @@ def main():
     cfg.model.loss.automask_loss = True
     cfg.model.loss.photometric_reduce_op = 'min'
     cfg.tpu.photometric_dtype = 'bfloat16'
-    batch = _rand_batch(rng, B, H, W, lidar=True, contexts=2)
-    guarded('selfsup_kitti', cfg, batch)
+    return cfg
 
-    # -- workload 1b: same step, Pallas matmul-gather warp kernel ----------
-    # On-chip A/B for the opt-in warp backend (3.0x isolated, previously
-    # LOST in-step to cond-boundary tap materialization — the rebuilt
-    # in-cond combine+derivative structure is unmeasured; ops/image.py
-    # WARP_IMPL notes). Guarded: a kernel failure costs only this line.
-    from packnet_sfm_tpu.ops import image as image_ops
-    image_ops.WARP_IMPL = 'auto'
+
+def _guarded(name, fn):
+    """One workload failing (compile/runtime/OOM) must not cost the other
+    workloads' JSON lines — the driver records whatever this process
+    prints."""
     try:
-        guarded('selfsup_kitti_pallaswarp', cfg, batch, windows=3, iters=10)
-    finally:
-        image_ops.WARP_IMPL = 'xla'
-
-    # -- workload 1c: selfsup at bs16 — img/s/chip is measured at OUR
-    # batch choice; a bigger batch may saturate the MXU better if HBM
-    # fits (guarded: an OOM costs only this line) ----------------------
-    batch16 = _rand_batch(np.random.RandomState(1), 16, H, W,
-                          lidar=True, contexts=2)
-    guarded('selfsup_kitti_bs16', cfg, batch16, windows=2, iters=8)
-
-    # -- workload 1d: inference FPS vs the reference's 120 FPS headline ----
-    cfg = _base_cfg()
-    cfg.model.depth_net.use_film = True
-    cfg.model.pose_net.name = ''
-    try:
-        ebatch = _rand_batch(np.random.RandomState(2), 1, 384, 640,
-                             lidar=True, contexts=0)
-        _run_eval_fps('eval_fps_384x640_b1', cfg, ebatch)
+        fn()
     except Exception as e:  # noqa: BLE001
-        print(json.dumps({'metric': 'eval_fps_384x640_b1', 'value': 0,
-                          'unit': 'error', 'vs_baseline': 0.0,
-                          'reason': str(e)[:200]}))
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            'metric': 'train_images_per_sec_per_chip_192x640_{}'.format(name)
+            if not name.startswith('eval') else name,
+            'value': 0, 'unit': 'error', 'vs_baseline': 0.0,
+            'reason': '{}: {}'.format(type(e).__name__, str(e)[:200])}))
+        sys.stdout.flush()
 
-    # -- workload 2 (headline, printed last): supervised completion --------
-    cfg = _base_cfg()
-    cfg.model.depth_net.use_film = True
-    cfg.model.pose_net.name = ''
-    cfg.model.loss.supervised_method = 'sparse-ssi-silog'
-    cfg.model.loss.supervised_loss_weight = 1.0
-    batch = _rand_batch(rng, B, H, W, lidar=True, contexts=0)
-    guarded('resnetsan01', cfg, batch)
+
+def run_workload_by_name(name):
+    """Build + run one named workload (used inline and via --only)."""
+    B, H, W = 8, 192, 640
+    if name == 'selfsup_kitti':
+        # north-star cost center (reference:
+        # losses/multiview_photometric_loss.py)
+        batch = _rand_batch(np.random.RandomState(0), B, H, W, lidar=True,
+                            contexts=2)
+        _run_workload(name, _selfsup_cfg(), batch)
+    elif name == 'selfsup_kitti_pallaswarp':
+        # On-chip A/B for the opt-in Pallas matmul-gather warp backend
+        # (3.0x isolated; the rebuilt in-cond combine+derivative structure
+        # is unmeasured — ops/image.py WARP_IMPL notes)
+        from packnet_sfm_tpu.ops import image as image_ops
+        batch = _rand_batch(np.random.RandomState(0), B, H, W, lidar=True,
+                            contexts=2)
+        image_ops.WARP_IMPL = 'auto'
+        try:
+            _run_workload(name, _selfsup_cfg(), batch, windows=3, iters=10)
+        finally:
+            image_ops.WARP_IMPL = 'xla'
+    elif name == 'selfsup_kitti_bs16':
+        # img/s/chip at OUR batch choice — a bigger batch may saturate the
+        # MXU better if HBM fits
+        batch = _rand_batch(np.random.RandomState(1), 16, H, W, lidar=True,
+                            contexts=2)
+        _run_workload(name, _selfsup_cfg(), batch, windows=2, iters=8)
+    elif name == 'eval_fps_384x640_b1':
+        # inference FPS vs the reference's 120 FPS RTX-3090 FP32 headline
+        cfg = _base_cfg()
+        cfg.model.depth_net.use_film = True
+        cfg.model.pose_net.name = ''
+        batch = _rand_batch(np.random.RandomState(2), 1, 384, 640,
+                            lidar=True, contexts=0)
+        _run_eval_fps(name, cfg, batch)
+    elif name == 'resnetsan01':
+        # the flagship supervised completion step (driver headline; batch
+        # drawn from the same rng position as rounds 1-2 for comparability)
+        cfg = _base_cfg()
+        cfg.model.depth_net.use_film = True
+        cfg.model.pose_net.name = ''
+        cfg.model.loss.supervised_method = 'sparse-ssi-silog'
+        cfg.model.loss.supervised_loss_weight = 1.0
+        rng = np.random.RandomState(0)
+        _rand_batch(rng, B, H, W, lidar=True, contexts=2)  # selfsup's draw
+        batch = _rand_batch(rng, B, H, W, lidar=True, contexts=0)
+        _run_workload(name, cfg, batch)
+    else:
+        raise ValueError('unknown workload ' + name)
+
+
+def _setup_cache():
+    # repo-local persistent cache: tunnel compiles of the big workloads are
+    # minutes-scale (measured 20+ min on a cold, loaded tunnel) and /tmp
+    # does not survive VM restarts — the repo does.
+    import jax
+    import os
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '.jax_tpu_cache')
+    jax.config.update('jax_compilation_cache_dir', cache)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+
+
+# (name, wall-clock budget seconds). Every workload but the headline runs
+# in its OWN subprocess bounded by the budget: a wedged compile or a
+# mid-run tunnel death costs ONE line, never the headline. Budgets assume
+# cold remote-tunnel compiles (minutes-scale).
+SUB_WORKLOADS = [
+    ('selfsup_kitti', 2700),
+    ('selfsup_kitti_pallaswarp', 1800),
+    ('selfsup_kitti_bs16', 1800),
+    ('eval_fps_384x640_b1', 1200),
+]
+
+
+def _run_sub(name, budget):
+    import os
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--only', name],
+            capture_output=True, text=True, timeout=budget,
+            env=dict(os.environ))
+        sys.stderr.write(proc.stderr or '')
+        out = proc.stdout or ''
+        sys.stdout.write(out)
+        sys.stdout.flush()
+        if proc.returncode == 0 or '"metric"' in out:
+            return
+        reason = 'subprocess rc={}'.format(proc.returncode)
+    except subprocess.TimeoutExpired as e:
+        for stream, sink in ((e.stderr, sys.stderr), (e.stdout, sys.stdout)):
+            if stream:
+                sink.write(stream if isinstance(stream, str)
+                           else stream.decode('utf-8', 'replace'))
+        reason = 'timed out after {}s'.format(budget)
+    print(json.dumps({
+        'metric': 'train_images_per_sec_per_chip_192x640_{}'.format(name)
+        if not name.startswith('eval') else name,
+        'value': 0, 'unit': 'error', 'vs_baseline': 0.0, 'reason': reason}))
+    sys.stdout.flush()
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) >= 2 and argv[0] == '--only':
+        # child mode: parent already probed the backend
+        _setup_cache()
+        name = argv[1]
+        _guarded(name, lambda: run_workload_by_name(name))
+        return 0
+    if not _probe_backend():
+        return 1
+    _setup_cache()
+    for name, budget in SUB_WORKLOADS:
+        _run_sub(name, budget)
+    # headline LAST (the driver parses the final JSON line), inline: it
+    # must print even if every bounded workload above failed
+    _guarded('resnetsan01', lambda: run_workload_by_name('resnetsan01'))
+    return 0
 
 
 if __name__ == '__main__':

@@ -59,6 +59,28 @@ def test_bench_workload_one_step(selfsup):
     assert int(state.step) == 1
 
 
+def test_bench_only_mode_unknown_workload_emits_error_line(capsys):
+    """Child (--only) mode is guarded: any failure prints an error JSON
+    line instead of dying silently (the driver records printed lines)."""
+    import json
+    rc = bench.main(['--only', 'bogus_workload'])
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith('{')][-1]
+    rec = json.loads(line)
+    assert rec['unit'] == 'error' and 'bogus_workload' in rec['metric']
+
+
+def test_bench_workload_registry_names():
+    """Every subprocess workload name dispatches (the registry and the
+    budget table must stay in sync)."""
+    src = open(os.path.join(REPO, 'bench.py')).read()
+    for name, budget in bench.SUB_WORKLOADS:
+        assert "'{}'".format(name) in src
+        assert budget >= 600
+    assert bench.SUB_WORKLOADS[-1][0] != 'resnetsan01'  # headline is inline
+
+
 def test_bench_eval_fps_workload_runs(capsys):
     """_run_eval_fps end-to-end at tiny shapes (the inference-FPS bench
     line vs the reference's 120 FPS RTX-3090 headline)."""
