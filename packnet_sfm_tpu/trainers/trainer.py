@@ -340,6 +340,9 @@ class Trainer:
             if i == 0 and os.environ.get('ONE_STEP_VIZ_DIR', ''):
                 from packnet_sfm_tpu.utils.debug import maybe_one_step_viz
                 maybe_one_step_viz(self.eval_step, self.state, batch)
+            from packnet_sfm_tpu.utils.debug import maybe_debug_train_batch
+            maybe_debug_train_batch(self.eval_step, self._eval_state(),
+                                    batch, self.config.model.params)
             timer.data_ready()
             progress = self._quantize_progress(
                 (epoch + b / n) / max(self.max_epochs, 1))
