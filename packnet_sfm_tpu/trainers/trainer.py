@@ -475,19 +475,42 @@ class Trainer:
                       os.environ.get('DISP_STATS_ONCE', '0') == '1' or
                       os.environ.get('DISP_STATS_EVERY', '0') == '1')
         metrics_step = None if debug_mode else self._get_metrics_step()
-        for batch in loader:
-            dev = _to_device_batch(batch, self.mesh)
-            if 'depth' not in dev:
+        # per-batch failure resilience (reference swallows and warns,
+        # model_wrapper.py:358-365 / horovod_trainer.py:206-209); unlike
+        # the reference we fail loud if EVERY batch failed — a zero-metric
+        # epoch from a broken pipeline must not look like a good model
+        skipped, it = 0, iter(loader)
+        while True:
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
+            except Exception as e:  # noqa: BLE001 — host decode error
+                skipped += 1
+                print(pcolor('  warning: validation batch {} failed in the '
+                             'loader: {}'.format(count + skipped, e), 'red'))
                 continue
-            if metrics_step is not None:
-                modes = metrics_step(self._eval_state(), dev)
-            else:
-                out = self.eval_step(self._eval_state(), dev)
-                modes = self._metrics_for_output(out, dev)
-            b = dev['rgb'].shape[0]
-            for k, v in modes.items():
-                accum[k] = accum.get(k, 0.0) + np.asarray(v) * b
-            count += b
+            try:
+                dev = _to_device_batch(batch, self.mesh)
+                if 'depth' not in dev:
+                    continue
+                if metrics_step is not None:
+                    modes = metrics_step(self._eval_state(), dev)
+                else:
+                    out = self.eval_step(self._eval_state(), dev)
+                    modes = self._metrics_for_output(out, dev)
+                b = dev['rgb'].shape[0]
+                for k, v in modes.items():
+                    accum[k] = accum.get(k, 0.0) + np.asarray(v) * b
+                count += b
+            except Exception as e:  # noqa: BLE001
+                skipped += 1
+                print(pcolor('  warning: validation batch {} failed: {}'
+                             .format(count + skipped, e), 'red'))
+        if skipped and not count:
+            raise RuntimeError(
+                'all {} validation batches failed; last-resort skip would '
+                'silently report empty metrics'.format(skipped))
         if not count:
             return {}
         table = {k: v / count for k, v in accum.items()}

@@ -41,6 +41,37 @@ def test_quick_eval_runs(trainer_with_lidar, capsys):
     assert 'RGB+LiDAR' in out  # synthetic samples carry input_depth
 
 
+def test_validate_skips_failing_batches(trainer_with_lidar, capsys):
+    """Per-batch failure resilience (reference model_wrapper.py:358-365):
+    a batch that fails mid-epoch is warned and skipped, the rest still
+    score; an epoch where EVERY batch fails raises instead of reporting
+    empty metrics."""
+    trainer, loader = trainer_with_lidar
+
+    class FlakyLoader:
+        """Wraps the real loader; poisons selected batch indices with a
+        host decode error."""
+        def __init__(self, inner, poison):
+            self.inner, self.poison = inner, poison
+
+        def __iter__(self):
+            def gen():
+                for i, batch in enumerate(self.inner):
+                    if i in self.poison:
+                        yield None  # _to_device_batch raises on this
+                    else:
+                        yield batch
+            return gen()
+
+    metrics = trainer.validate(FlakyLoader(loader, {0}))
+    out = capsys.readouterr().out
+    assert 'warning: validation batch' in out
+    assert np.isfinite(metrics['depth-abs_rel'])
+
+    with pytest.raises(RuntimeError, match='all .* validation batches'):
+        trainer.validate(FlakyLoader(loader, set(range(100))))
+
+
 def test_flip_tta_eval(trainer_with_lidar):
     trainer, loader = trainer_with_lidar
     trainer.config.model.params.flip_tta = True
