@@ -351,6 +351,15 @@ class Trainer:
                                                   progress)
             losses.append(metrics['loss'])
             timer.step_done()
+            # in-epoch progress with rolling-50 loss (the reference's tqdm
+            # bar + AvgMeter(50), horovod_trainer.py:26,245-258); printed at
+            # 10% marks so the loss fetch syncs the pipeline <=10x/epoch
+            if n >= 10 and (b + 1) % max(1, n // 10) == 0 and rank() == 0:
+                from packnet_sfm_tpu.utils.logging_utils import AvgMeter
+                meter = AvgMeter(50)
+                meter.values = list(losses[-50:])
+                print(pcolor('  [{}/{}] loss {:.4f} (avg50)'.format(
+                    b + 1, n, meter.get()), 'cyan'))
             if save_every and (b + 1) % save_every == 0 and \
                     self.checkpoint_cb is not None and rank() == 0:
                 from packnet_sfm_tpu.utils.checkpoint import save_checkpoint

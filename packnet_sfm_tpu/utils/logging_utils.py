@@ -33,6 +33,33 @@ def print_metrics_table(title, metrics_by_mode):
     print('\n'.join(lines))
 
 
+class AvgMeter:
+    """Rolling-window mean of a scalar stream — the reference's live
+    train-loss smoothing (utils/logging.py:139-167 AvgMeter(50) in the
+    tqdm bar). Values are appended lazily; get() is O(window)."""
+
+    def __init__(self, n_max=100):
+        self.n_max = n_max
+        self.values = []
+
+    def __call__(self, value):
+        self.values.append(value)
+        if len(self.values) > self.n_max:
+            self.values.pop(0)
+        return self.get()
+
+    def get(self):
+        return sum(float(v) for v in self.values) / max(len(self.values), 1)
+
+    def reset(self):
+        self.values.clear()
+
+    def get_and_reset(self):
+        average = self.get()
+        self.reset()
+        return average
+
+
 def print_config(cfg, color='cyan'):
     print(pcolor('#' * 60, color))
     print(cfg.dump() if hasattr(cfg, 'dump') else cfg)

@@ -23,3 +23,15 @@ def test_setup_loggers_dry_run():
     from packnet_sfm_tpu.loggers import setup_loggers
     cfg = get_cfg_defaults()
     assert setup_loggers(cfg) is None  # both dry_run by default
+
+
+def test_avg_meter_rolling_window():
+    """AvgMeter(50) rolling-loss smoothing (reference utils/logging.py:139-167)."""
+    from packnet_sfm_tpu.utils.logging_utils import AvgMeter
+    m = AvgMeter(3)
+    assert m(1.0) == 1.0
+    assert m(2.0) == 1.5
+    assert m(3.0) == 2.0
+    assert m(4.0) == 3.0          # window slid: mean(2,3,4)
+    assert m.get_and_reset() == 3.0
+    assert m.values == [] and m.get() == 0.0
