@@ -372,9 +372,11 @@ def main(argv=None):
     _setup_cache()
     for name, budget in SUB_WORKLOADS:
         _run_sub(name, budget)
-    # headline LAST (the driver parses the final JSON line), inline: it
-    # must print even if every bounded workload above failed
-    _guarded('resnetsan01', lambda: run_workload_by_name('resnetsan01'))
+    # headline LAST (the driver parses the final JSON line). Bounded like
+    # the rest: a tunnel death mid-run must cost an error line, not an
+    # indefinite hang — _run_sub prints a fallback JSON line either way,
+    # so the headline always prints.
+    _run_sub('resnetsan01', 2700)
     return 0
 
 
