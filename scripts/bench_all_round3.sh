@@ -22,7 +22,7 @@ run() {
 }
 
 run bench       python bench.py
-run packnet_ab  python scripts/bench_packnet.py depthwin2d depthwise
+run packnet_ab  python scripts/bench_packnet.py depthwin2d depthwise conv3d+remat
 run suite       python bench_suite.py --iters 15
 run breakdown   python scripts/bench_selfsup_breakdown.py
 echo "all done: $(ls $OUT)"

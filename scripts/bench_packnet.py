@@ -4,6 +4,9 @@ the depthwise formulation removes the [B,H,W,C,3] window materialization
 and the B*C batch relayout).
 
 Usage: python scripts/bench_packnet.py [depthwin2d|depthwise|conv3d ...]
+Append '+remat' to an impl to wrap the forward in jax.checkpoint —
+the literal conv3d impl OOMed at bs8 in round 2 (18.75G > 15.75G HBM,
+activation-bound), which remat trades for ~1.3x FLOPs.
 """
 
 import os
@@ -15,9 +18,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(impl, B=8, H=192, W=640):
+def run(spec, B=8, H=192, W=640):
     import jax
     from packnet_sfm_tpu.networks.layers import packnet as packnet_layers
+    impl, _, suffix = spec.partition('+')
+    remat = suffix == 'remat'
     packnet_layers.CONV3D_IMPL = impl
 
     import bench
@@ -43,11 +48,11 @@ def run(impl, B=8, H=192, W=640):
                          steps_per_epoch=100, clip_grad=0.0)
     state = init_state(model, opt, dev, jax.random.PRNGKey(0))
     state = replicate_state(state, mesh)
-    step = make_train_step(model, opt, mesh=mesh, donate=True)
+    step = make_train_step(model, opt, mesh=mesh, donate=True, remat=remat)
     sec, times = bench._bench_step(step, state, dev, jax.random.PRNGKey(1),
                                    windows=4, iters=8)
-    print('{:12s} {:7.1f} ms/step  {:6.1f} img/s  windows: {}'.format(
-        impl, sec * 1e3, B / sec,
+    print('{:16s} {:7.1f} ms/step  {:6.1f} img/s  windows: {}'.format(
+        spec, sec * 1e3, B / sec,
         ' '.join('{:.1f}'.format(t * 1e3) for t in times)))
 
 
@@ -57,5 +62,6 @@ if __name__ == '__main__':
         os.path.abspath(__file__))), '.jax_tpu_cache')
     jax.config.update('jax_compilation_cache_dir', cache)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
-    for impl in (sys.argv[1:] or ['depthwin2d', 'depthwise']):
-        run(impl)
+    for spec in (sys.argv[1:] or ['depthwin2d', 'depthwise',
+                                  'conv3d+remat']):
+        run(spec)
