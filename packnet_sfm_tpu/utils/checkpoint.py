@@ -68,6 +68,34 @@ def load_checkpoint(path):
         return pickle.load(f)
 
 
+def save_code(dirpath, root=None):
+    """Snapshot the framework source next to the checkpoints as
+    code.tar.gz — the reference tars its whole cwd on the first S3 sync
+    (model_checkpoint.py:19-21); this version scopes to the framework
+    files and skips caches/artifacts so the snapshot is reproducible."""
+    import tarfile
+    root = root or os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    out = os.path.join(dirpath, 'code.tar.gz')
+    junk = {'.git', '__pycache__', 'runs', '.jax_cache', '.jax_tpu_cache',
+            '.pytest_cache'}
+
+    def _filter(ti):
+        parts = ti.name.split('/')
+        if any(p in junk for p in parts) or ti.name.endswith(
+                ('.pyc', '.ckpt')):
+            return None
+        return ti
+
+    with tarfile.open(out, 'w:gz') as tar:
+        for sub in ('packnet_sfm_tpu', 'scripts', 'configs', 'tests',
+                    'bench.py', 'pyproject.toml'):
+            p = os.path.join(root, sub)
+            if os.path.exists(p):
+                tar.add(p, arcname=sub, filter=_filter)
+    return out
+
+
 def s3_sync(local_dir, s3_path):
     """Sync checkpoints to S3 via the aws CLI when available
     (reference: model_checkpoint.py:12-21,78-92). No-op without awscli."""
@@ -99,6 +127,7 @@ class ModelCheckpoint:
         self.s3_path = s3_path
         self.s3_frequency = s3_frequency
         self._saves_since_sync = 0
+        self._code_saved = False
         if mode == 'auto':
             # metric-name heuristic (reference: model_checkpoint.py:44-54)
             mode = 'max' if any(k in monitor for k in ['a1', 'a2', 'a3']) \
@@ -139,5 +168,13 @@ class ModelCheckpoint:
         self._saves_since_sync += 1
         if self.s3_path and self._saves_since_sync >= self.s3_frequency:
             self._saves_since_sync = 0
+            if not self._code_saved:
+                # one-time code snapshot rides the first sync (reference
+                # save_code, model_checkpoint.py:88-91)
+                self._code_saved = True
+                try:
+                    save_code(self.dirpath)
+                except Exception as e:  # noqa: BLE001 — never block saves
+                    print('[checkpoint] code snapshot failed: {}'.format(e))
             s3_sync(self.dirpath, self.s3_path)
         return path

@@ -70,3 +70,17 @@ def test_checkpoint_topk_eviction(tmp_path):
 def test_checkpoint_mode_auto_max():
     cb = ModelCheckpoint('/tmp/x/{epoch}', monitor='depth-a1', mode='auto')
     assert cb.mode == 'max'
+
+
+def test_save_code_snapshot(tmp_path):
+    """code.tar.gz snapshot (reference model_checkpoint.py:19-21) scopes to
+    framework sources and skips caches/artifacts."""
+    import tarfile
+    from packnet_sfm_tpu.utils.checkpoint import save_code
+    out = save_code(str(tmp_path))
+    with tarfile.open(out) as tar:
+        names = tar.getnames()
+    assert any(n.startswith('packnet_sfm_tpu/') for n in names)
+    assert any(n.startswith('configs/') for n in names)
+    assert not any('__pycache__' in n or n.endswith(('.pyc', '.ckpt'))
+                   for n in names)
