@@ -65,6 +65,7 @@ class Trainer:
     def __init__(self, config, resume_state=None, logger=None):
         self.config = config
         self.resume_state = resume_state
+        self.last_val_metrics = {}
         self.logger = logger
         self.min_epochs = config.arch.min_epochs
         self.max_epochs = config.arch.max_epochs
@@ -293,6 +294,7 @@ class Trainer:
             if val_loaders:
                 val_metrics = self.validate_multi(val_loaders)
                 self._dump_eval_json(epoch, val_metrics)
+            self.last_val_metrics = val_metrics
             if self.logger is not None:
                 self.logger.log_metrics(
                     {'train/' + k: v for k, v in train_metrics.items()
