@@ -150,6 +150,57 @@ def active_row_window(mask, Hw, align=32, bottom_margin=63):
     return s, dropped
 
 
+def calibrate_san_row_window(dataset, k=16, align=32, bottom_margin=63,
+                             safety_rows=32):
+    """Pick a `san_row_window` fraction from the DATA instead of by hand.
+
+    Samples up to `k` items from `dataset` (anything indexable returning a
+    sample dict; items without 'input_depth' disable the crop), measures the
+    projected-LiDAR active row band across them, and returns the smallest
+    fraction whose 32-aligned window covers (band + the bottom margin
+    active_row_window needs for exactness + one `safety_rows` band for
+    sample variance beyond the calibration set). Returns 0.0 (crop
+    disabled) when any sample lacks LiDAR or the window would not be
+    smaller than the image.
+
+    The trainer runs this when `model.depth_net.san_row_window == -1`
+    ('auto'): the runtime window START stays per-batch (traced s from the
+    mask, active_row_window above); only the static SIZE is calibrated
+    here. Out-of-window points at train time are still counted by the
+    'san_dropped' intermediate, so a miscalibration is observable.
+    """
+    import numpy as np
+    n = len(dataset)
+    if n == 0:
+        return 0.0
+    take = np.linspace(0, n - 1, min(k, n)).astype(int)
+    r0, r1, H = None, None, None
+    for i in take:
+        sample = dataset[int(i)]
+        d = sample.get('input_depth')
+        if d is None:
+            return 0.0
+        d = np.asarray(d)
+        if d.ndim == 3:                       # [H,W,1] or [1,H,W]
+            d = d[..., 0] if d.shape[-1] == 1 else d[0]
+        H = d.shape[0]
+        rows = np.flatnonzero((d > 0).any(axis=1))
+        if rows.size == 0:
+            continue
+        r0 = rows[0] if r0 is None else min(r0, rows[0])
+        r1 = rows[-1] if r1 is None else max(r1, rows[-1])
+    if r0 is None or H is None:
+        return 0.0
+    top = (r0 // align) * align
+    bottom = min(H, r1 + 1 + bottom_margin + safety_rows)
+    Hw = -(-(bottom - top) // align) * align
+    if Hw >= H or Hw <= 0:
+        return 0.0
+    # consumer computes int(H * frac) // 32 * 32 — bias by half a row so
+    # float truncation can't lose the last aligned block
+    return float((Hw + 0.5) / H)
+
+
 def crop_rows(x, s, Hw):
     """dynamic row crop [B,H,W,C] -> [B,Hw,W,C] starting at traced s."""
     return jax.lax.dynamic_slice_in_dim(x, s, Hw, axis=1)

@@ -51,6 +51,7 @@ feeds bf16 refs (losses/photometric.py). `float32` needs 6-pass HIGHEST.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -71,16 +72,32 @@ TILE_ROWS = 8     # output rows per grid program
 BH = 24
 TILE_BAND = 48    # DMA'd band per tile (BH + inter-row tilt <= 24)
 LANE = 128
-WIN = 3 * LANE    # per-chunk source window (displacement band |dx| <~ 128)
+# Per-chunk source window (displacement band |dx| <~ 128 at the default 3
+# chunks). The one-hot contraction's FLOPs scale linearly with WIN, so the
+# chip bench can A/B a tighter 2-chunk band (PACKNET_WARP_WIN=256) — the
+# violation flag falls back to the XLA path when a flow leaves it, so
+# semantics are WIN-invariant.
+WIN = int(os.environ.get('PACKNET_WARP_WIN', 3 * LANE))
+assert WIN % LANE == 0 and WIN >= 2 * LANE, 'WIN must be a multiple of 128 >= 256'
 
 
 def _cdiv(a, b):
     return -(-a // b)
 
 
-def _warp_kernel(n_chunks, wpad, dtype, base_t_ref, rowoff_ref,
+def _warp_kernel(n_chunks, wpad, dtype, fuse_out, base_t_ref, rowoff_ref,
                  src_ref, xloc_ref, ylocal_ref,
-                 top_ref, bot_ref, band, sem):
+                 *out_refs_and_scratch):
+    if fuse_out:
+        # bf16 mode: ONE output ref [1, TILE_ROWS, 16, wo_pad] holding
+        # top(8)+bot(8) sublanes — a [16, LANE] bf16 store is exactly one
+        # (16, 128) bf16 tile, so every write is tile-aligned AND the
+        # output traffic halves vs two f32 refs (taps of a bf16 source are
+        # bf16-exact, so nothing is lost casting them back).
+        out_ref, band, sem = out_refs_and_scratch
+        top_ref = bot_ref = None
+    else:
+        top_ref, bot_ref, band, sem = out_refs_and_scratch
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -125,8 +142,12 @@ def _warp_kernel(n_chunks, wpad, dtype, base_t_ref, rowoff_ref,
                 gs = g[s * 8:(s + 1) * 8, :]
                 top = jnp.where(sel_t, gs, top)
                 bot = jnp.where(sel_b, gs, bot)
-            top_ref[0, i, :, lane0:lane0 + LANE] = top
-            bot_ref[0, i, :, lane0:lane0 + LANE] = bot
+            if fuse_out:
+                out_ref[0, i, :, lane0:lane0 + LANE] = (
+                    jnp.concatenate([top, bot], axis=0).astype(out_ref.dtype))
+            else:
+                top_ref[0, i, :, lane0:lane0 + LANE] = top
+                bot_ref[0, i, :, lane0:lane0 + LANE] = bot
 
 
 def _pack_source(image, padding_mode, dtype=jnp.float32):
@@ -227,6 +248,24 @@ def warp_taps_from_plan(image, plan, padding_mode='zeros',
     base_t, rowoff = plan['base_t'], plan['rowoff']
     xloc, ylocal = plan['xloc'], plan['ylocal']
 
+    # bf16 kernels write ONE fused bf16 output ref (16 sublanes = top+bot,
+    # exactly one bf16 tile per [16, LANE] store) — half the output HBM
+    # traffic of the two-f32-ref layout, with bit-identical taps (bf16
+    # sources only).
+    fuse_out = dtype == jnp.bfloat16
+    if fuse_out:
+        out_specs = [pl.BlockSpec((1, TILE_ROWS, 16, wo_pad),
+                                  lambda b, t, *_: (b, t, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((B, ho_pad, 16, wo_pad),
+                                          jnp.bfloat16)]
+    else:
+        out_specs = [pl.BlockSpec((1, TILE_ROWS, 8, wo_pad),
+                                  lambda b, t, *_: (b, t, 0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        out_shape = [jax.ShapeDtypeStruct((B, ho_pad, 8, wo_pad),
+                                          jnp.float32)] * 2
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, n_t),
@@ -239,31 +278,26 @@ def warp_taps_from_plan(image, plan, padding_mode='zeros',
                          lambda b, t, *_: (b, t, 0),
                          memory_space=pltpu.VMEM),         # ylocal
         ],
-        out_specs=[
-            pl.BlockSpec((1, TILE_ROWS, 8, wo_pad),
-                         lambda b, t, *_: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_ROWS, 8, wo_pad),
-                         lambda b, t, *_: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((TILE_BAND, 8, wpad), dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    top, bot = pl.pallas_call(
-        functools.partial(_warp_kernel, n_chunks, wpad, dtype),
-        out_shape=[
-            jax.ShapeDtypeStruct((B, ho_pad, 8, wo_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, ho_pad, 8, wo_pad), jnp.float32),
-        ],
+    outs = pl.pallas_call(
+        functools.partial(_warp_kernel, n_chunks, wpad, dtype, fuse_out),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(base_t.reshape(-1), rowoff.reshape(-1), packed, xloc, ylocal)
 
-    top = top[:, :Ho, :, :Wo].transpose(0, 1, 3, 2)        # [B,Ho,Wo,8]
-    bot = bot[:, :Ho, :, :Wo].transpose(0, 1, 3, 2)
+    if fuse_out:
+        tb = outs[0][:, :Ho, :, :Wo]
+        top, bot = tb[:, :, :8], tb[:, :, 8:]
+    else:
+        top, bot = outs[0][:, :Ho, :, :Wo], outs[1][:, :Ho, :, :Wo]
+    top = top.transpose(0, 1, 3, 2)                        # [B,Ho,Wo,8]
+    bot = bot.transpose(0, 1, 3, 2)
     p00, p01 = top[..., :C], top[..., C:2 * C]
     p10, p11 = bot[..., :C], bot[..., C:2 * C]
     return p00, p01, p10, p11

@@ -73,6 +73,7 @@ class Trainer:
         self.mesh = make_mesh(tuple(config.tpu.mesh_shape),
                               tuple(config.tpu.mesh_axes),
                               batch_size=config.datasets.train.batch_size)
+        self._maybe_autocalibrate_row_window()
         self.model = setup_model(config)
         self.checkpoint_cb = None
         if config.checkpoint.filepath:
@@ -86,6 +87,31 @@ class Trainer:
                 s3_frequency=config.checkpoint.s3_frequency)
         self.current_epoch = 0
         self.state = None
+
+    def _maybe_autocalibrate_row_window(self):
+        """`model.depth_net.san_row_window == -1` means AUTO: measure the
+        projected-LiDAR active row band on a few training samples and set
+        the static window fraction from the data (exactness margins
+        included — layers/san.py calibrate_san_row_window). Keeps the SAN
+        row-window speedup production-safe instead of hand-tuned."""
+        dn = self.config.model.depth_net
+        if dn.get('san_row_window', 0.0) != -1.0:
+            return
+        from packnet_sfm_tpu.networks.layers.san import \
+            calibrate_san_row_window
+        try:
+            datasets = setup_dataset(self.config.datasets.train,
+                                     self.config.datasets.augmentation,
+                                     'train')
+        except Exception as e:  # noqa: BLE001 — data missing: disable crop
+            print(pcolor('[san] row-window auto-calibration skipped '
+                         '({}); running full-height'.format(e), 'yellow'))
+            dn.san_row_window = 0.0
+            return
+        frac = calibrate_san_row_window(datasets[0]) if datasets else 0.0
+        dn.san_row_window = frac
+        print(pcolor('[san] auto row window: {:.3f}{}'.format(
+            frac, '' if frac > 0 else ' (disabled — full height)'), 'cyan'))
 
     # ------------------------------------------------------------------ data
     def _make_loader(self, split, dataset_idx=None):

@@ -25,4 +25,8 @@ run bench       python bench.py
 run packnet_ab  python scripts/bench_packnet.py depthwin2d depthwise conv3d+remat
 run suite       python bench_suite.py --iters 15
 run breakdown   python scripts/bench_selfsup_breakdown.py
+# Pallas-warp kernel knob A/Bs (only worth reading if the pallaswarp
+# workload in (1) beat the XLA warp): a 2-chunk displacement band cuts the
+# one-hot contraction FLOPs 33% (violation flag keeps semantics exact).
+run pallaswarp_win256 env PACKNET_WARP_WIN=256 python bench.py --only selfsup_kitti_pallaswarp
 echo "all done: $(ls $OUT)"

@@ -116,6 +116,38 @@ def test_bench_packnet_workload_one_step():
         pn_layers.CONV3D_IMPL = old
 
 
+def test_bench_selfsup_packnet01_workload_one_step():
+    """selfsup_packnet01 (upstream train_kitti.yaml semantics: SelfSupModel
+    + PackNet01 + PoseNet, pure photometric) at tiny shapes."""
+    from packnet_sfm_tpu.models import setup_model
+    from packnet_sfm_tpu.parallel.train_step import (
+        make_optimizer, make_train_step, init_state)
+    from packnet_sfm_tpu.networks.layers import packnet as pn_layers
+    import jax.numpy as jnp
+
+    old = pn_layers.CONV3D_IMPL
+    pn_layers.CONV3D_IMPL = 'depthwise'
+    try:
+        cfg = bench._base_cfg()
+        cfg.tpu.compute_dtype = 'float32'
+        cfg.model.name = 'SelfSupModel'
+        cfg.model.depth_net.name = 'PackNet01'
+        cfg.model.depth_net.version = '1A'
+        cfg.model.pose_net.name = 'PoseNet'
+        batch = bench._rand_batch(np.random.RandomState(0), 1, 64, 96,
+                                  lidar=False, contexts=2)
+        model = setup_model(cfg)
+        tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, 10,
+                            clip_grad=cfg.arch.clip_grad)
+        dev = jax.tree_util.tree_map(jnp.asarray, batch)
+        state = init_state(model, tx, dev, jax.random.PRNGKey(0))
+        step = make_train_step(model, tx, donate=False)
+        state, metrics = step(state, dev, jax.random.PRNGKey(1), 0.0)
+        assert np.isfinite(float(metrics['loss']))
+    finally:
+        pn_layers.CONV3D_IMPL = old
+
+
 def test_bench_eval_fps_workload_runs(capsys):
     """_run_eval_fps end-to-end at tiny shapes (the inference-FPS bench
     line vs the reference's 120 FPS RTX-3090 headline)."""

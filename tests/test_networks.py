@@ -217,3 +217,38 @@ def test_pose_resnet(rgb):
     net = PoseResNet(version='18pt')
     out = _init_and_run(net, rgb, ctx)
     assert out.shape == (B, 2, 6)
+
+
+# ---------------------------------------------------------------- auto window
+
+def test_calibrate_row_window_covers_band():
+    """Auto row-window sizing: band + exactness margins, 32-aligned,
+    consumer round-trip (int(H*frac)//32*32) lossless."""
+    from packnet_sfm_tpu.networks.layers.san import calibrate_san_row_window
+    Hc, Wc = 192, 64
+    rng = np.random.RandomState(0)
+    ds = []
+    for i in range(4):
+        d = np.zeros((Hc, Wc, 1), np.float32)
+        d[80:150] = (rng.rand(70, Wc, 1) < 0.3) * 5.0   # band [80, 149]
+        ds.append({'input_depth': d})
+    frac = calibrate_san_row_window(ds)
+    assert 0.0 < frac < 1.0
+    Hw = int(Hc * frac) // 32 * 32
+    # top anchor 64 (80//32*32), bottom needs 149+1+63(+32 safety) clamped
+    # to 192 -> window 128 rows
+    assert Hw == 128
+
+
+def test_calibrate_row_window_disables_without_lidar_or_gain():
+    from packnet_sfm_tpu.networks.layers.san import calibrate_san_row_window
+    # no input_depth key -> disabled
+    assert calibrate_san_row_window([{'rgb': np.zeros((8, 8, 3))}]) == 0.0
+    # empty dataset -> disabled
+    assert calibrate_san_row_window([]) == 0.0
+    # all-empty masks -> disabled
+    ds = [{'input_depth': np.zeros((96, 32, 1), np.float32)}]
+    assert calibrate_san_row_window(ds) == 0.0
+    # full-height band -> window would not be smaller than the image
+    full = np.ones((96, 32, 1), np.float32)
+    assert calibrate_san_row_window([{'input_depth': full}]) == 0.0

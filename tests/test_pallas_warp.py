@@ -48,6 +48,25 @@ def test_warp_taps_matches_xla(padding_mode, shape):
                                    atol=1e-5, err_msg=name)
 
 
+def test_warp_taps_bf16_fused_output_exact():
+    """bf16 kernel mode writes ONE fused bf16 output ref (top+bot, 16
+    sublanes); taps of a bf16 source must be BIT-exact vs the XLA path."""
+    B, H, W = 2, 64, 256
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(B, H, W, 3), jnp.bfloat16)
+    grid = _flow_grid(B, H, W, rng)
+
+    want = _gs_patches(img, grid, 'zeros')
+    got = warp_taps_pallas(img, grid, 'zeros', dtype=jnp.bfloat16,
+                           interpret=True)
+    assert not bool(got[6])
+    for k, name in enumerate(['p00', 'p01', 'p10', 'p11']):
+        assert got[k].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(got[k], dtype=np.float32),
+            np.asarray(want[k], dtype=np.float32), err_msg=name)
+
+
 def test_warp_taps_out_of_band_flags_violation():
     # W=640 has 5 lane chunks, so a 200 px displacement leaves the 3-chunk
     # window (at W<=380 the window covers the whole image and ANY |dx| is

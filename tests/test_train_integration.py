@@ -340,3 +340,19 @@ def test_dropout_model_trains_one_step():
     step = make_train_step(model, optimizer, donate=False)
     state, metrics = step(state, batch, jax.random.PRNGKey(1), 0.0)
     assert np.isfinite(float(metrics['loss']))
+
+
+def test_trainer_autocalibrates_row_window():
+    """san_row_window == -1 ('auto') must be replaced by a concrete
+    data-calibrated fraction before the model is built."""
+    from packnet_sfm_tpu.config import parse_train_config
+    from packnet_sfm_tpu.trainers.trainer import Trainer
+    cfg = parse_train_config('configs/overfit_synthetic.yaml')
+    cfg.datasets.train.input_depth_type = ['sparse']
+    cfg.model.depth_net.use_film = True
+    cfg.model.depth_net.san_row_window = -1
+    trainer = Trainer(cfg)
+    frac = cfg.model.depth_net.san_row_window
+    assert frac != -1 and 0.0 <= frac < 1.0
+    # the built model must carry the calibrated value
+    assert trainer.model.depth_net.san_row_window == frac
