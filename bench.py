@@ -32,12 +32,25 @@ within 3% of each other.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_IMG_S = 110.0  # 2x A100-PyTorch target (BASELINE.md north star)
+
+# GLOBAL wall-clock deadline (round-3 lesson: the driver killed the whole
+# bench at rc=124 because per-workload budgets summed past its budget and
+# the headline ran last). Everything in main() checks remaining time before
+# launching; the headline runs FIRST and its JSON line is re-printed at the
+# very end so the driver's parse-last-line convention still sees it.
+_T0 = time.monotonic()
+BENCH_BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', '3000'))
+
+
+def _remaining():
+    return BENCH_BUDGET_S - (time.monotonic() - _T0)
 
 
 def _bench_step(step, state, batch, key, windows=4, iters=8, warmup=3):
@@ -240,10 +253,30 @@ def _guarded(name, fn):
         sys.stdout.flush()
 
 
+def _run_miscompile_guard():
+    """Run the XLA gather-miscompile repro (VERDICT r3 item 7): a backend
+    update that re-breaks the packed-tap warp numerics must be caught the
+    same session, as a JSON line the driver records."""
+    import importlib.util
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'scripts', 'repro_xla_gather_miscompile.py')
+    spec = importlib.util.spec_from_file_location('repro_miscompile', path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rc = mod.main()
+    print(json.dumps({
+        'metric': 'miscompile_guard', 'value': 1 if rc == 0 else 0,
+        'unit': 'ok' if rc == 0 else 'MISCOMPILE',
+        'vs_baseline': 1.0 if rc == 0 else 0.0}))
+    sys.stdout.flush()
+
+
 def run_workload_by_name(name):
     """Build + run one named workload (used inline and via --only)."""
     B, H, W = 8, 192, 640
-    if name == 'selfsup_kitti':
+    if name == 'miscompile_guard':
+        _run_miscompile_guard()
+    elif name == 'selfsup_kitti':
         # north-star cost center (reference:
         # losses/multiview_photometric_loss.py)
         batch = _rand_batch(np.random.RandomState(0), B, H, W, lidar=True,
@@ -336,23 +369,40 @@ def _setup_cache():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
 
 
-# (name, wall-clock budget seconds). Every workload but the headline runs
-# in its OWN subprocess bounded by the budget: a wedged compile or a
-# mid-run tunnel death costs ONE line, never the headline. Budgets assume
-# cold remote-tunnel compiles (minutes-scale).
-SUB_WORKLOADS = [
-    ('selfsup_kitti', 2700),
-    ('selfsup_kitti_pallaswarp', 1800),
-    ('selfsup_kitti_bs16', 1800),
-    ('eval_fps_384x640_b1', 1200),
-    ('packnet01_depthwise', 1800),
-    ('selfsup_packnet01', 1800),
+# (name, nominal budget, min time worth launching with). Every workload
+# runs in its OWN subprocess bounded by min(nominal, remaining global
+# budget): a wedged compile or a mid-run tunnel death costs ONE line, never
+# the rest of the session. Priority order — the HEADLINE first (round-3
+# lesson: it ran last and the driver's own timeout killed it before it
+# printed), then the upstream-selfsup and eval-FPS lines the judge tracks,
+# then optional A/Bs with whatever time remains.
+WORKLOADS = [
+    ('miscompile_guard', 900, 120),
+    ('resnetsan01', 1500, 300),
+    ('selfsup_kitti', 1500, 300),
+    ('eval_fps_384x640_b1', 900, 180),
+    ('selfsup_packnet01', 1200, 300),
+    ('selfsup_kitti_pallaswarp', 1200, 300),
+    ('selfsup_kitti_bs16', 900, 300),
+    ('packnet01_depthwise', 900, 300),
 ]
+_REQUIRED = {'miscompile_guard', 'resnetsan01', 'selfsup_kitti',
+             'eval_fps_384x640_b1'}
+
+
+def _error_line(name, reason):
+    return {
+        'metric': 'train_images_per_sec_per_chip_192x640_{}'.format(name)
+        if not (name.startswith('eval') or name == 'miscompile_guard')
+        else name,
+        'value': 0, 'unit': 'error', 'vs_baseline': 0.0, 'reason': reason}
 
 
 def _run_sub(name, budget):
-    import os
+    """Run one workload in a bounded subprocess. Returns the JSON lines it
+    printed (parsed), so main() can re-print the headline at the end."""
     import subprocess
+    out = ''
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), '--only', name],
@@ -363,19 +413,35 @@ def _run_sub(name, budget):
         sys.stdout.write(out)
         sys.stdout.flush()
         if proc.returncode == 0 or '"metric"' in out:
-            return
+            return _parse_lines(out)
         reason = 'subprocess rc={}'.format(proc.returncode)
     except subprocess.TimeoutExpired as e:
         for stream, sink in ((e.stderr, sys.stderr), (e.stdout, sys.stdout)):
             if stream:
-                sink.write(stream if isinstance(stream, str)
-                           else stream.decode('utf-8', 'replace'))
-        reason = 'timed out after {}s'.format(budget)
-    print(json.dumps({
-        'metric': 'train_images_per_sec_per_chip_192x640_{}'.format(name)
-        if not name.startswith('eval') else name,
-        'value': 0, 'unit': 'error', 'vs_baseline': 0.0, 'reason': reason}))
+                text = (stream if isinstance(stream, str)
+                        else stream.decode('utf-8', 'replace'))
+                sink.write(text)
+                if sink is sys.stdout:
+                    out = text
+        reason = 'timed out after {:.0f}s'.format(budget)
+    line = _error_line(name, reason)
+    print(json.dumps(line))
     sys.stdout.flush()
+    return _parse_lines(out) + [line]
+
+
+def _parse_lines(out):
+    lines = []
+    for raw in out.splitlines():
+        raw = raw.strip()
+        if raw.startswith('{'):
+            try:
+                d = json.loads(raw)
+            except ValueError:
+                continue
+            if 'metric' in d:
+                lines.append(d)
+    return lines
 
 
 def main(argv=None):
@@ -386,16 +452,34 @@ def main(argv=None):
         name = argv[1]
         _guarded(name, lambda: run_workload_by_name(name))
         return 0
-    if not _probe_backend():
+    if not _probe_backend(timeout=min(600, max(60, _remaining() - 120))):
         return 1
     _setup_cache()
-    for name, budget in SUB_WORKLOADS:
-        _run_sub(name, budget)
-    # headline LAST (the driver parses the final JSON line). Bounded like
-    # the rest: a tunnel death mid-run must cost an error line, not an
-    # indefinite hang — _run_sub prints a fallback JSON line either way,
-    # so the headline always prints.
-    _run_sub('resnetsan01', 2700)
+    headline = None
+    for name, nominal, min_needed in WORKLOADS:
+        left = _remaining() - 45  # reserve for the final headline re-print
+        if left < min_needed:
+            if name in _REQUIRED:
+                line = _error_line(
+                    name, 'skipped: {:.0f}s left < {}s min'.format(
+                        left, min_needed))
+                print(json.dumps(line))
+                sys.stdout.flush()
+            else:
+                print('[bench] skipping {} ({:.0f}s left)'.format(name, left),
+                      file=sys.stderr)
+            continue
+        lines = _run_sub(name, min(nominal, left))
+        if name == 'resnetsan01':
+            for d in lines:
+                if d.get('metric', '').endswith('resnetsan01'):
+                    headline = d
+    # Re-print the headline LAST: the driver parses the FINAL JSON line as
+    # the round's metric, but the headline must RUN first (see WORKLOADS).
+    if headline is None:
+        headline = _error_line('resnetsan01', 'headline never produced')
+    print(json.dumps(headline))
+    sys.stdout.flush()
     return 0
 
 

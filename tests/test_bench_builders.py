@@ -73,15 +73,48 @@ def test_bench_only_mode_unknown_workload_emits_error_line(capsys):
 
 def test_bench_workload_registry_names():
     """Every subprocess workload name dispatches (the registry and the
-    budget table must stay in sync)."""
+    budget table must stay in sync), and the round-4 ordering contract
+    holds: miscompile guard first, headline second, required lines before
+    optional A/Bs, all under the GLOBAL deadline."""
     src = open(os.path.join(REPO, 'bench.py')).read()
-    for name, budget in bench.SUB_WORKLOADS:
+    names = [n for n, _, _ in bench.WORKLOADS]
+    for name, budget, min_needed in bench.WORKLOADS:
         assert "'{}'".format(name) in src
-        assert budget >= 600
-    # headline runs LAST as its own bounded subprocess (not in the
-    # registry: its budget is hardcoded in main so it cannot be reordered)
-    assert all(n != 'resnetsan01' for n, _ in bench.SUB_WORKLOADS)
-    assert "_run_sub('resnetsan01'" in src
+        assert budget >= min_needed > 0
+    assert names[0] == 'miscompile_guard'
+    assert names[1] == 'resnetsan01'  # headline RUNS first (VERDICT r3 #1)
+    assert names[2] == 'selfsup_kitti'
+    assert 'eval_fps_384x640_b1' in names[:4]
+    assert bench._REQUIRED <= set(names)
+    # nominal budgets of the required lines fit the global budget, so a
+    # fresh-cache session cannot spend the driver's wall clock on A/Bs
+    required_nominal = sum(b for n, b, _ in bench.WORKLOADS
+                           if n in bench._REQUIRED)
+    assert required_nominal <= bench.BENCH_BUDGET_S * 1.6
+    # headline is re-printed as the FINAL line (driver parses the last one)
+    assert 'headline never produced' in src
+
+
+def test_bench_global_deadline_skips_and_headline_reprints(monkeypatch,
+                                                           capsys):
+    """With the global budget exhausted, main() must not launch anything,
+    must print error lines for the REQUIRED metrics, and must still end
+    with the headline JSON line."""
+    import json
+    monkeypatch.setattr(bench, 'BENCH_BUDGET_S', 0.0)
+    monkeypatch.setattr(bench, '_probe_backend', lambda timeout=0: True)
+    launched = []
+    monkeypatch.setattr(bench, '_run_sub',
+                        lambda name, budget: launched.append(name) or [])
+    rc = bench.main([])
+    assert rc == 0
+    assert launched == []
+    out = capsys.readouterr().out
+    lines = [json.loads(l) for l in out.splitlines() if l.startswith('{')]
+    metrics = [d['metric'] for d in lines]
+    for req in bench._REQUIRED:
+        assert any(req in m for m in metrics)
+    assert metrics[-1].endswith('resnetsan01')
 
 
 def test_bench_packnet_workload_one_step():
