@@ -22,16 +22,30 @@ def _k(t):
     return np.transpose(np.asarray(t), (2, 3, 1, 0))
 
 
+# torchvision stage layouts (reference builds 18/34/50 encoders from these:
+# /root/reference/packnet_sfm/networks/layers/resnet/resnet_encoder.py:61-98)
+_TV_BLOCKS = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3], 50: [3, 4, 6, 3],
+              101: [3, 4, 23, 3], 152: [3, 8, 36, 3]}
+
+
+def _is_bottleneck(num_layers):
+    return num_layers > 34
+
+
 def torchvision_resnet_to_flax(state_dict, num_layers=18, num_input_images=1):
     """
     Returns (params, batch_stats) subtrees for our ResnetEncoder.
 
-    torchvision layout: conv1/bn1, layer{1..4}.{b}.conv{1,2}/bn{1,2}
-    (+ downsample.0/1); our layout: Conv_0/BatchNorm_0 + BasicBlock_{i} with
-    Conv_0/1[/2] and BatchNorm_0/1[/2].
+    torchvision layout: conv1/bn1, layer{1..4}.{b}.conv{1,2[,3]}/bn{1,2[,3]}
+    (+ downsample.0/1); our layout: Conv_0/BatchNorm_0 + BasicBlock_{i}
+    (convs: main 3x3 x2, then optional downsample) or Bottleneck_{i}
+    (convs: 1x1 / 3x3 / 1x1, then optional downsample) with flax
+    auto-numbered Conv_j/BatchNorm_j in call order.
     """
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
-    blocks = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3]}[num_layers]
+    blocks = _TV_BLOCKS[num_layers]
+    n_main = 3 if _is_bottleneck(num_layers) else 2
+    blk_cls = 'Bottleneck' if _is_bottleneck(num_layers) else 'BasicBlock'
 
     params = {}
     stats = {}
@@ -50,26 +64,24 @@ def torchvision_resnet_to_flax(state_dict, num_layers=18, num_input_images=1):
     for stage in range(4):
         for blk in range(blocks[stage]):
             pre = 'layer{}.{}.'.format(stage + 1, blk)
-            name = 'BasicBlock_{}'.format(b)
-            p = {
-                'Conv_0': {'kernel': _k(sd[pre + 'conv1.weight'])},
-                'BatchNorm_0': {'scale': sd[pre + 'bn1.weight'],
-                                'bias': sd[pre + 'bn1.bias']},
-                'Conv_1': {'kernel': _k(sd[pre + 'conv2.weight'])},
-                'BatchNorm_1': {'scale': sd[pre + 'bn2.weight'],
-                                'bias': sd[pre + 'bn2.bias']},
-            }
-            s = {
-                'BatchNorm_0': {'mean': sd[pre + 'bn1.running_mean'],
-                                'var': sd[pre + 'bn1.running_var']},
-                'BatchNorm_1': {'mean': sd[pre + 'bn2.running_mean'],
-                                'var': sd[pre + 'bn2.running_var']},
-            }
+            name = '{}_{}'.format(blk_cls, b)
+            p, s = {}, {}
+            for j in range(n_main):
+                p['Conv_{}'.format(j)] = {
+                    'kernel': _k(sd[pre + 'conv{}.weight'.format(j + 1)])}
+                p['BatchNorm_{}'.format(j)] = {
+                    'scale': sd[pre + 'bn{}.weight'.format(j + 1)],
+                    'bias': sd[pre + 'bn{}.bias'.format(j + 1)]}
+                s['BatchNorm_{}'.format(j)] = {
+                    'mean': sd[pre + 'bn{}.running_mean'.format(j + 1)],
+                    'var': sd[pre + 'bn{}.running_var'.format(j + 1)]}
             if pre + 'downsample.0.weight' in sd:
-                p['Conv_2'] = {'kernel': _k(sd[pre + 'downsample.0.weight'])}
-                p['BatchNorm_2'] = {'scale': sd[pre + 'downsample.1.weight'],
-                                    'bias': sd[pre + 'downsample.1.bias']}
-                s['BatchNorm_2'] = {
+                p['Conv_{}'.format(n_main)] = {
+                    'kernel': _k(sd[pre + 'downsample.0.weight'])}
+                p['BatchNorm_{}'.format(n_main)] = {
+                    'scale': sd[pre + 'downsample.1.weight'],
+                    'bias': sd[pre + 'downsample.1.bias']}
+                s['BatchNorm_{}'.format(n_main)] = {
                     'mean': sd[pre + 'downsample.1.running_mean'],
                     'var': sd[pre + 'downsample.1.running_var']}
             params[name] = p
@@ -472,28 +484,49 @@ def _put_ref_bn(sd, pre, bp, bs):
 
 def _export_tv_encoder(sd, prefix, ep, es, num_layers):
     """Our flax ResnetEncoder trees -> torchvision naming under `prefix`
-    (shared by the depth-net and pose-net exporters)."""
-    blocks = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3]}[num_layers]
+    (shared by the depth-net and pose-net exporters). Handles both
+    BasicBlock (18/34) and Bottleneck (50/101/152) layouts."""
+    blocks = _TV_BLOCKS[num_layers]
+    n_main = 3 if _is_bottleneck(num_layers) else 2
+    blk_cls = 'Bottleneck' if _is_bottleneck(num_layers) else 'BasicBlock'
     sd[prefix + 'conv1.weight'] = _k_inv(ep['Conv_0']['kernel'])
     _put_ref_bn(sd, prefix + 'bn1.', ep['BatchNorm_0'], es['BatchNorm_0'])
     b = 0
     for stage in range(4):
         for blk in range(blocks[stage]):
             pre = '{}layer{}.{}.'.format(prefix, stage + 1, blk)
-            name = 'BasicBlock_{}'.format(b)
-            sd[pre + 'conv1.weight'] = _k_inv(ep[name]['Conv_0']['kernel'])
-            _put_ref_bn(sd, pre + 'bn1.', ep[name]['BatchNorm_0'],
-                        es[name]['BatchNorm_0'])
-            sd[pre + 'conv2.weight'] = _k_inv(ep[name]['Conv_1']['kernel'])
-            _put_ref_bn(sd, pre + 'bn2.', ep[name]['BatchNorm_1'],
-                        es[name]['BatchNorm_1'])
-            if 'Conv_2' in ep[name]:
+            name = '{}_{}'.format(blk_cls, b)
+            for j in range(n_main):
+                sd[pre + 'conv{}.weight'.format(j + 1)] = \
+                    _k_inv(ep[name]['Conv_{}'.format(j)]['kernel'])
+                _put_ref_bn(sd, pre + 'bn{}.'.format(j + 1),
+                            ep[name]['BatchNorm_{}'.format(j)],
+                            es[name]['BatchNorm_{}'.format(j)])
+            if 'Conv_{}'.format(n_main) in ep[name]:
                 sd[pre + 'downsample.0.weight'] = \
-                    _k_inv(ep[name]['Conv_2']['kernel'])
+                    _k_inv(ep[name]['Conv_{}'.format(n_main)]['kernel'])
                 _put_ref_bn(sd, pre + 'downsample.1.',
-                            ep[name]['BatchNorm_2'],
-                            es[name]['BatchNorm_2'])
+                            ep[name]['BatchNorm_{}'.format(n_main)],
+                            es[name]['BatchNorm_{}'.format(n_main)])
             b += 1
+
+
+def _infer_tv_num_layers(enc_sd):
+    """Infer 18/34/50/101/152 from a torchvision-style encoder state_dict."""
+    bottleneck = any(k.startswith('layer1.0.conv3.') for k in enc_sd)
+    n3 = 1 + max((int(k.split('.')[1]) for k in enc_sd
+                  if k.startswith('layer3.')), default=0)
+    if bottleneck:
+        return {36: 152, 23: 101}.get(n3, 50)
+    return 34 if any(k.startswith('layer1.2.') for k in enc_sd) else 18
+
+
+def _infer_flax_num_layers(ep):
+    """Infer 18/34/50/101/152 from our flax encoder params subtree."""
+    if 'Bottleneck_0' in ep:
+        n = sum(1 for k in ep if k.startswith('Bottleneck_'))
+        return {16: 50, 33: 101, 50: 152}[n]
+    return 34 if 'BasicBlock_8' in ep else 18
 
 
 def flax_to_reference_depth_net(variables, num_layers=18,
@@ -820,14 +853,7 @@ def reference_pose_net_to_flax(sd):
     # PoseResNet
     enc_sd = {k[len('encoder.encoder.'):]: v for k, v in sd.items()
               if k.startswith('encoder.encoder.')}
-    if any(k.startswith('layer1.0.conv3.') for k in enc_sd):
-        # Bottleneck blocks: the reference allows ResNet50 pose encoders but
-        # our flax encoder is BasicBlock-only — fail loud instead of
-        # silently mis-mapping conv1/conv2 and dropping conv3
-        raise ValueError(
-            'ResNet50 (Bottleneck) pose encoders are not supported by the '
-            'flax ResnetEncoder; retrain with 18/34 or extend the encoder')
-    num_layers = 34 if any(k.startswith('layer1.2.') for k in enc_sd) else 18
+    num_layers = _infer_tv_num_layers(enc_sd)
     enc_p, enc_s = torchvision_resnet_to_flax(enc_sd, num_layers,
                                               num_input_images=1)
     # (the 2-image first conv is stored at its full 6-channel width in the
@@ -863,8 +889,8 @@ def flax_to_reference_pose_net(variables_or_params, batch_stats=None):
         return sd
     # PoseResNet: shared torchvision-encoder exporter
     ep, es = p['encoder'], s['encoder']
-    num_layers = 34 if 'BasicBlock_8' in ep else 18
-    _export_tv_encoder(sd, 'encoder.encoder.', ep, es, num_layers)
+    _export_tv_encoder(sd, 'encoder.encoder.', ep, es,
+                       _infer_flax_num_layers(ep))
     for n, name in enumerate(['squeeze_0', 'pose_0', 'pose_1', 'pose_2']):
         pre = 'decoder.net.{}.'.format(n)
         sd[pre + 'weight'] = _k_inv(p['decoder'][name]['kernel'])

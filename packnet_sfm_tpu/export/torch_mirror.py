@@ -14,8 +14,10 @@ variables (HWIO -> OIHW kernels, BN scale/bias + running stats). This also
 doubles as the PyTorch checkpoint interop layer for parity evaluations.
 
 Only inference (use_running_average BatchNorm) is mirrored. ResNet 18/34
-(BasicBlock) supported; SAN/Film branches are excluded from export exactly
-like the reference's RGB-only ONNX wrapper.
+(BasicBlock) and 50 (Bottleneck) supported — the reference builds all three
+from torchvision (resnet_encoder.py:61-98) and publishes a ResNet50-SAN
+(28.5 M params); SAN/Film branches are excluded from export exactly like
+the reference's RGB-only ONNX wrapper.
 """
 
 import numpy as np
@@ -53,10 +55,49 @@ class _BasicBlock(nn.Module):
         return F.relu(y + r)
 
 
+class _Bottleneck(nn.Module):
+    """torchvision ResNet-V1.5 Bottleneck (stride on the 3x3), mirroring our
+    flax Bottleneck (networks/layers/resnet.py:54) for parity/export."""
+
+    def __init__(self, cin, width, stride):
+        super().__init__()
+        cout = width * 4
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.down = None
+        if stride != 1 or cin != cout:
+            self.down = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        r = x if self.down is None else self.down(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return F.relu(y + r)
+
+
+# (num_layers -> stage layout; 50+ uses Bottleneck with 4x expansion)
+_BLOCKS = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3], 50: [3, 4, 6, 3]}
+
+
+def resnet_num_ch_enc(num_layers):
+    ch = [64, 64, 128, 256, 512]
+    if num_layers > 34:
+        ch = [ch[0]] + [c * 4 for c in ch[1:]]
+    return ch
+
+
 class TorchResnetEncoder(nn.Module):
     def __init__(self, num_layers=18):
         super().__init__()
-        blocks = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3]}[num_layers]
+        blocks = _BLOCKS[num_layers]
+        bottleneck = num_layers > 34
         self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
         layers = []
@@ -64,8 +105,12 @@ class TorchResnetEncoder(nn.Module):
         for stage, (width, n) in enumerate(zip([64, 128, 256, 512], blocks)):
             for b in range(n):
                 stride = 2 if (stage > 0 and b == 0) else 1
-                layers.append(_BasicBlock(cin, width, stride))
-                cin = width
+                if bottleneck:
+                    layers.append(_Bottleneck(cin, width, stride))
+                    cin = width * 4
+                else:
+                    layers.append(_BasicBlock(cin, width, stride))
+                    cin = width
         self.blocks = nn.ModuleList(layers)
         self.stage_ends = np.cumsum(blocks).tolist()
 
@@ -122,7 +167,8 @@ class TorchDepthNet(nn.Module):
                  max_depth=80.0, use_log_space=False):
         super().__init__()
         self.encoder = TorchResnetEncoder(num_layers)
-        self.decoder = TorchDepthDecoder(dual_head=dual_head)
+        self.decoder = TorchDepthDecoder(resnet_num_ch_enc(num_layers),
+                                         dual_head=dual_head)
         self.dual_head = dual_head
         self.min_depth = min_depth
         self.max_depth = max_depth
@@ -166,18 +212,23 @@ def load_resnet_san_into_torch(variables, num_layers=18, dual_head=False,
     net.encoder.conv1.weight.data = _t(p_enc['Conv_0']['kernel'])
     _load_bn(net.encoder.bn1, p_enc['BatchNorm_0'], s_enc['BatchNorm_0'])
 
-    n_blocks = {18: 8, 34: 16}[num_layers]
+    n_blocks = sum(_BLOCKS[num_layers])
+    blk_cls = 'Bottleneck' if num_layers > 34 else 'BasicBlock'
+    n_main = 3 if num_layers > 34 else 2
     for b in range(n_blocks):
-        pb = p_enc['BasicBlock_{}'.format(b)]
-        sb = s_enc['BasicBlock_{}'.format(b)]
+        pb = p_enc['{}_{}'.format(blk_cls, b)]
+        sb = s_enc['{}_{}'.format(blk_cls, b)]
         blk = net.encoder.blocks[b]
-        blk.conv1.weight.data = _t(pb['Conv_0']['kernel'])
-        _load_bn(blk.bn1, pb['BatchNorm_0'], sb['BatchNorm_0'])
-        blk.conv2.weight.data = _t(pb['Conv_1']['kernel'])
-        _load_bn(blk.bn2, pb['BatchNorm_1'], sb['BatchNorm_1'])
+        for j in range(n_main):
+            getattr(blk, 'conv{}'.format(j + 1)).weight.data = \
+                _t(pb['Conv_{}'.format(j)]['kernel'])
+            _load_bn(getattr(blk, 'bn{}'.format(j + 1)),
+                     pb['BatchNorm_{}'.format(j)],
+                     sb['BatchNorm_{}'.format(j)])
         if blk.down is not None:
-            blk.down[0].weight.data = _t(pb['Conv_2']['kernel'])
-            _load_bn(blk.down[1], pb['BatchNorm_2'], sb['BatchNorm_2'])
+            blk.down[0].weight.data = _t(pb['Conv_{}'.format(n_main)]['kernel'])
+            _load_bn(blk.down[1], pb['BatchNorm_{}'.format(n_main)],
+                     sb['BatchNorm_{}'.format(n_main)])
 
     p_dec = variables['params']['decoder']
     for i in range(5):
