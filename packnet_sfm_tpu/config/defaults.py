@@ -260,9 +260,13 @@ def get_cfg_defaults():
     # for a large peak-HBM cut — enables activation-bound configs (e.g.
     # PackNet literal conv3d at bs8) that otherwise OOM
     cfg.tpu.remat = False
-    # (losses/geometry always run fp32 islands; photometric_dtype is the
-    # one measured knob — BENCH_NOTES.md precision table)
-    cfg.tpu.photometric_dtype = 'float32'  # 'bfloat16' = 2.74x self-sup step
+    # Photometric map dtype. bf16 maps + fp32 accumulation islands (every
+    # SSIM moment product/pool computes fp32 inside the fused pooling
+    # kernels, ops/ssim.py) track fp32 convergence step-for-step — the
+    # round-3 overfit A/B closed the round-2 quality gap (BENCH_NOTES.md
+    # "fp32 accumulation islands") — at ~2.7x the self-sup step speed, so
+    # bf16 is the default. 'float32' remains the bit-exact-parity knob.
+    cfg.tpu.photometric_dtype = 'bfloat16'
     # With bf16 photometric: switch to fp32 at this training-progress
     # fraction for final-quality convergence (-1 = never switch).
     cfg.tpu.photometric_fp32_progress = -1.0
