@@ -3,7 +3,8 @@ torchvision -> flax weight import for the ResNet encoder.
 
 The reference initializes its encoders from torchvision ImageNet weights
 (reference: networks/layers/resnet/resnet_encoder.py:53-60,86). This module
-maps a torchvision-style ResNet state_dict (18/34) onto our flax encoder
+maps a torchvision-style ResNet state_dict (18/34 BasicBlock, 50/101/152
+Bottleneck) onto our flax encoder
 param/batch_stats trees (OIHW -> HWIO kernels, BN weight/bias/running stats).
 
 Weights load from: an explicit .pth path, or the torch hub cache if present
