@@ -282,18 +282,19 @@ def run_workload_by_name(name):
         batch = _rand_batch(np.random.RandomState(0), B, H, W, lidar=True,
                             contexts=2)
         _run_workload(name, _selfsup_cfg(), batch)
-    elif name == 'selfsup_kitti_pallaswarp':
-        # On-chip A/B for the opt-in Pallas matmul-gather warp backend
-        # (3.0x isolated; the rebuilt in-cond combine+derivative structure
-        # is unmeasured — ops/image.py WARP_IMPL notes)
+    elif name == 'selfsup_kitti_xlawarp':
+        # A/B the retired pure-XLA packed-tap warp against the now-default
+        # Pallas matmul-gather backend (round-4 on-chip: 60.68 xla vs
+        # 62.55 auto img/s/chip — BENCH_NOTES round 4)
         from packnet_sfm_tpu.ops import image as image_ops
         batch = _rand_batch(np.random.RandomState(0), B, H, W, lidar=True,
                             contexts=2)
-        image_ops.WARP_IMPL = 'auto'
+        prev = image_ops.WARP_IMPL
+        image_ops.WARP_IMPL = 'xla'
         try:
             _run_workload(name, _selfsup_cfg(), batch, windows=3, iters=10)
         finally:
-            image_ops.WARP_IMPL = 'xla'
+            image_ops.WARP_IMPL = prev
     elif name == 'selfsup_kitti_bs16':
         # img/s/chip at OUR batch choice — a bigger batch may saturate the
         # MXU better if HBM fits
@@ -382,7 +383,7 @@ WORKLOADS = [
     ('selfsup_kitti', 1500, 300),
     ('eval_fps_384x640_b1', 900, 180),
     ('selfsup_packnet01', 1200, 300),
-    ('selfsup_kitti_pallaswarp', 1200, 300),
+    ('selfsup_kitti_xlawarp', 1200, 300),
     ('selfsup_kitti_bs16', 900, 300),
     ('packnet01_depthwise', 900, 300),
 ]

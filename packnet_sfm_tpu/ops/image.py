@@ -8,6 +8,7 @@ depth-estimation parity is usually won or lost.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -261,7 +262,15 @@ def _gs_derivs(p00, p01, p10, p11, wx, wy):
 # (three [B,Ho,Wo,C] tensors cross, not six), saves (image, grid, A, B) as
 # residuals, and the backward is pure elementwise math over A/B — the
 # kernel is never re-run.
-WARP_IMPL = 'xla'
+#
+# Round-4 on-chip A/B (full selfsup_kitti train step, live tunnel,
+# BENCH_NOTES round 4): the in-cond rebuild WINS in-step — 62.55 vs
+# 60.68 img/s/chip (+3.1%) — so 'auto' (Pallas kernel with in-graph XLA
+# fallback on band violation) is now the default on TPU backends.
+# Eligibility is platform-gated (warp_pallas_supported): CPU/GPU and
+# non-eligible shapes run the XLA path unchanged. PACKNET_WARP_IMPL=xla
+# restores the pure-XLA backend.
+WARP_IMPL = os.environ.get('PACKNET_WARP_IMPL', 'auto')
 
 
 def _pallas_warp_eligible(image, grid):
