@@ -43,10 +43,13 @@ BASELINE_IMG_S = 110.0  # 2x A100-PyTorch target (BASELINE.md north star)
 # GLOBAL wall-clock deadline (round-3 lesson: the driver killed the whole
 # bench at rc=124 because per-workload budgets summed past its budget and
 # the headline ran last). Everything in main() checks remaining time before
-# launching; the headline runs FIRST and its JSON line is re-printed at the
-# very end so the driver's parse-last-line convention still sees it.
+# launching; the headline runs FIRST and its JSON line is re-printed after
+# EVERY completed workload (round-4 lesson: the driver killed the run
+# externally at ~20 min both rounds and parses the LAST line — the budget
+# must sit inside that kill, and the headline must be the last line no
+# matter where an external kill lands).
 _T0 = time.monotonic()
-BENCH_BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', '3000'))
+BENCH_BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', '1100'))
 
 
 def _remaining():
@@ -375,17 +378,21 @@ def _setup_cache():
 # budget): a wedged compile or a mid-run tunnel death costs ONE line, never
 # the rest of the session. Priority order — the HEADLINE first (round-3
 # lesson: it ran last and the driver's own timeout killed it before it
-# printed), then the upstream-selfsup and eval-FPS lines the judge tracks,
-# then optional A/Bs with whatever time remains.
+# printed), then the eval-FPS headline (round-4 lesson: it ran after
+# selfsup and the external ~20-min kill landed on its cold compile — it
+# never printed in ANY driver artifact), then the selfsup line, then
+# optional A/Bs with whatever time remains. Nominals assume the repo-local
+# .jax_tpu_cache is warm (it persists across rounds; the builder session
+# warms it).
 WORKLOADS = [
-    ('miscompile_guard', 900, 120),
-    ('resnetsan01', 1500, 300),
-    ('selfsup_kitti', 1500, 300),
-    ('eval_fps_384x640_b1', 900, 180),
-    ('selfsup_packnet01', 1200, 300),
-    ('selfsup_kitti_xlawarp', 1200, 300),
-    ('selfsup_kitti_bs16', 900, 300),
-    ('packnet01_depthwise', 900, 300),
+    ('miscompile_guard', 420, 60),
+    ('resnetsan01', 600, 180),
+    ('eval_fps_384x640_b1', 450, 120),
+    ('selfsup_kitti', 600, 180),
+    ('selfsup_packnet01', 600, 240),
+    ('selfsup_kitti_xlawarp', 600, 240),
+    ('selfsup_kitti_bs16', 450, 240),
+    ('packnet01_depthwise', 450, 240),
 ]
 _REQUIRED = {'miscompile_guard', 'resnetsan01', 'selfsup_kitti',
              'eval_fps_384x640_b1'}
@@ -475,8 +482,13 @@ def main(argv=None):
             for d in lines:
                 if d.get('metric', '').endswith('resnetsan01'):
                     headline = d
-    # Re-print the headline LAST: the driver parses the FINAL JSON line as
-    # the round's metric, but the headline must RUN first (see WORKLOADS).
+        # Re-print the headline after EVERY workload: the driver parses the
+        # FINAL JSON line, and an EXTERNAL kill (observed ~20 min rounds
+        # 3-4) can land anywhere — the last complete line must always be
+        # the headline once it exists.
+        if headline is not None and name != 'resnetsan01':
+            print(json.dumps(headline))
+            sys.stdout.flush()
     if headline is None:
         headline = _error_line('resnetsan01', 'headline never produced')
     print(json.dumps(headline))

@@ -270,7 +270,21 @@ def _gs_derivs(p00, p01, p10, p11, wx, wy):
 # Eligibility is platform-gated (warp_pallas_supported): CPU/GPU and
 # non-eligible shapes run the XLA path unchanged. PACKNET_WARP_IMPL=xla
 # restores the pure-XLA backend.
+# 'force' (timing-only: skips the band-violation fallback, can produce
+# WRONG warps on violating grids) is deliberately bench-only — refuse it
+# unless the caller owns the risk via PACKNET_WARP_FORCE_OK=1.
+_WARP_IMPLS = ('auto', 'xla', 'force')
 WARP_IMPL = os.environ.get('PACKNET_WARP_IMPL', 'auto')
+if WARP_IMPL not in _WARP_IMPLS:
+    raise ValueError(
+        'PACKNET_WARP_IMPL={!r} is not one of {} (typos silently behaving '
+        'like auto caused mis-attributed benchmarks)'.format(
+            WARP_IMPL, _WARP_IMPLS))
+if WARP_IMPL == 'force' and os.environ.get('PACKNET_WARP_FORCE_OK') != '1':
+    raise ValueError(
+        "PACKNET_WARP_IMPL=force skips the band-violation fallback and can "
+        "produce wrong warps — it is for isolated kernel timing only. Set "
+        "PACKNET_WARP_FORCE_OK=1 to confirm a bench context.")
 
 
 def _pallas_warp_eligible(image, grid):

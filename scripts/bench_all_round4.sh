@@ -23,4 +23,5 @@ run() {
 
 run packnet_ab  python scripts/bench_packnet.py depthwise depthwin2d conv3d+remat
 run breakdown   python scripts/bench_selfsup_breakdown.py xla auto
+run san_ab      python scripts/bench_san_conv.py fwdbwd
 echo "all done: $(ls $OUT)"

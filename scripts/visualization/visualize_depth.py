@@ -46,10 +46,16 @@ def main():
     ap.add_argument('--output', required=True)
     ap.add_argument('--min-depth', type=float, default=0.5)
     ap.add_argument('--max-depth', type=float, default=15.0)
+    ap.add_argument('--colormap', choices=('plasma', 'depth'),
+                    default='plasma',
+                    help="'plasma' = normalized inverse-depth viz (default);"
+                    " 'depth' = the reference's metric red=near->blue=far "
+                    "map over [min_depth, max_depth] (reference: "
+                    "visualization/colormaps.py)")
     args = ap.parse_args()
 
     from packnet_sfm_tpu.datasets.io import load_image
-    from packnet_sfm_tpu.utils.viz import viz_inv_depth
+    from packnet_sfm_tpu.utils.viz import viz_inv_depth, viz_depth_metric
 
     rgb = load_image(args.image)
     H, W = rgb.shape[:2]
@@ -79,8 +85,14 @@ def main():
         depth = resize_depth(depth[..., None], (H, W))[..., 0]
 
     inv = np.where(depth > 0, 1.0 / np.maximum(depth, 1e-6), 0.0)
+    if args.colormap == 'depth':
+        def colorize(inv_map):
+            d = np.where(inv_map > 0, 1.0 / np.maximum(inv_map, 1e-6), 0.0)
+            return viz_depth_metric(d, args.min_depth, args.max_depth)
+    else:
+        colorize = viz_inv_depth
     panels = [(rgb * 255).astype(np.uint8),
-              (viz_inv_depth(inv) * 255).astype(np.uint8)]
+              (colorize(inv) * 255).astype(np.uint8)]
 
     if args.gt:
         gt = load_depth_any(args.gt)
@@ -92,7 +104,7 @@ def main():
         valid = gt > 0
         # GT scatter colored by its own inverse depth, drawn over the pred
         gt_inv = np.where(valid, 1.0 / np.maximum(gt, 1e-6), 0.0)
-        gt_col = (viz_inv_depth(gt_inv) * 255).astype(np.uint8)
+        gt_col = (colorize(gt_inv) * 255).astype(np.uint8)
         overlay[valid] = gt_col[valid]
         panels.append(overlay)
         err = np.where(valid, np.abs(depth - gt), 0.0)

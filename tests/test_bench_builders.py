@@ -83,14 +83,21 @@ def test_bench_workload_registry_names():
         assert budget >= min_needed > 0
     assert names[0] == 'miscompile_guard'
     assert names[1] == 'resnetsan01'  # headline RUNS first (VERDICT r3 #1)
-    assert names[2] == 'selfsup_kitti'
-    assert 'eval_fps_384x640_b1' in names[:4]
+    # eval-FPS before selfsup (VERDICT r4: the eval headline never landed
+    # in a driver artifact because it ran after selfsup)
+    assert names[2] == 'eval_fps_384x640_b1'
+    assert names[3] == 'selfsup_kitti'
     assert bench._REQUIRED <= set(names)
-    # nominal budgets of the required lines fit the global budget, so a
-    # fresh-cache session cannot spend the driver's wall clock on A/Bs
+    # nominal budgets of the required lines stay in the same ballpark as
+    # the global budget (they are per-subprocess CAPS; the global deadline
+    # is what actually bounds the session), so a fresh-cache session cannot
+    # spend the driver's wall clock many times over on one workload
     required_nominal = sum(b for n, b, _ in bench.WORKLOADS
                            if n in bench._REQUIRED)
-    assert required_nominal <= bench.BENCH_BUDGET_S * 1.6
+    assert required_nominal <= bench.BENCH_BUDGET_S * 2.0
+    # the global budget itself sits inside the driver's observed ~20-min
+    # external kill (rounds 3 AND 4 died rc=124 at ~1200 s)
+    assert bench.BENCH_BUDGET_S <= 1150
     # headline is re-printed as the FINAL line (driver parses the last one)
     assert 'headline never produced' in src
 

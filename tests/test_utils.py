@@ -84,3 +84,43 @@ def test_save_code_snapshot(tmp_path):
     assert any(n.startswith('configs/') for n in names)
     assert not any('__pycache__' in n or n.endswith(('.pyc', '.ckpt'))
                    for n in names)
+
+
+def test_depth_colormap_matplotlib_parity():
+    """The numpy piecewise-linear metric-depth colormap must match a
+    matplotlib LinearSegmentedColormap built from the same stops
+    (reference: visualization/colormaps.py:83-141) at sampled positions,
+    including the range-clamp/boundary-insertion semantics."""
+    import numpy as np
+    import pytest
+    from packnet_sfm_tpu.utils.viz import (
+        depth_cmap_stops, depth_colormap_lut, viz_depth_metric)
+    mpl = pytest.importorskip('matplotlib.colors')
+
+    for lo, hi in ((0.1, 15.0), (0.5, 10.0), (1.0, 4.0), (0.01, 20.0)):
+        pos, cols = depth_cmap_stops(lo, hi)
+        ref = mpl.LinearSegmentedColormap.from_list(
+            'ref', list(zip(pos, [tuple(c) for c in cols])), N=512)
+        lut = depth_colormap_lut(lo, hi, n=512)
+        xs = np.linspace(0, 1, 512)
+        want = np.array([ref(float(x))[:3] for x in xs], np.float32)
+        # from_list quantizes to N bins; sampling the LUT at the same N
+        # grid keeps the comparison on bin centers
+        assert np.abs(lut - want).max() < 5e-3
+
+    # rendering semantics: near=red, far=blue, invalid=black, clip to range
+    d = np.array([[0.0, 0.1], [7.0, 15.0]], np.float32)
+    rgb = viz_depth_metric(d, 0.1, 15.0)
+    assert np.allclose(rgb[0, 0], 0.0)               # invalid -> black
+    assert rgb[0, 1, 0] > 0.9 and rgb[0, 1, 2] < 0.1  # near -> red
+    assert rgb[1, 1, 2] > 0.9 and rgb[1, 1, 0] < 0.1  # far -> blue
+
+
+def test_depth_colormap_errors():
+    import pytest
+    from packnet_sfm_tpu.utils.viz import depth_cmap_stops, colormap_by_name
+    with pytest.raises(ValueError):
+        depth_cmap_stops(5.0, 5.0)
+    with pytest.raises(ValueError):
+        colormap_by_name('viridis')
+    assert colormap_by_name('depth') is not None
