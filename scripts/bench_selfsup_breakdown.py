@@ -52,8 +52,13 @@ def run(impl, ablate=None):
     model = setup_model(cfg)
     mesh = make_mesh()
     dev_batch = shard_batch(batch, mesh)
+    # clip_grad MUST match bench.py's (cfg.arch.clip_grad): a different
+    # optimizer chain is a different HLO -> persistent-cache MISS -> ~10
+    # min cold compile per impl through the tunnel for numbers that are
+    # supposed to A/B against the bench lines
     optimizer = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
-                               steps_per_epoch=100, clip_grad=0.0)
+                               steps_per_epoch=100,
+                               clip_grad=cfg.arch.clip_grad)
     state = init_state(model, optimizer, dev_batch, jax.random.PRNGKey(0))
     state = replicate_state(state, mesh)
     step = make_train_step(model, optimizer, mesh=mesh, donate=True)

@@ -26,13 +26,20 @@ def parse_args():
                         default=['npz', 'viz'], choices=['npz', 'png', 'viz'])
     parser.add_argument('--mask', type=str, default=None,
                         help='optional binary mask multiplied into the input')
+    parser.add_argument('--colormap', default='plasma',
+                        choices=('plasma', 'depth'),
+                        help="viz colormap: 'plasma' = normalized "
+                             "inverse-depth (default); 'depth' = the "
+                             "reference's metric red=near->blue=far map "
+                             "(reference: visualization/colormaps.py)")
     parser.add_argument('--device', default='default',
                         choices=['default', 'cpu'], help="'cpu' forces the host CPU backend before jax initializes (the TPU plugin overrides JAX_PLATFORMS; backend init blocks while the device tunnel is down)")
     return parser.parse_args()
 
 
 def infer_and_save_depth(ckpt_file, input_path, output_path,
-                         image_shape=None, save=('npz', 'viz'), mask=None):
+                         image_shape=None, save=('npz', 'viz'), mask=None,
+                         colormap='plasma'):
     import jax
     import jax.numpy as jnp
     from packnet_sfm_tpu.config import parse_test_file
@@ -41,7 +48,7 @@ def infer_and_save_depth(ckpt_file, input_path, output_path,
     from packnet_sfm_tpu.datasets.transforms import resize_image
     from packnet_sfm_tpu.ops.depth import (
         sigmoid_to_inv_depth, inv2depth, dual_head_to_depth)
-    from packnet_sfm_tpu.utils.viz import viz_inv_depth
+    from packnet_sfm_tpu.utils.viz import viz_inv_depth, viz_depth_metric
 
     config, state = parse_test_file(ckpt_file)
     model = setup_model(config)
@@ -100,8 +107,12 @@ def infer_and_save_depth(ckpt_file, input_path, output_path,
         if 'png' in save:
             write_depth(os.path.join(output_path, base + '.png'), depth)
         if 'viz' in save:
-            write_image(os.path.join(output_path, base + '_viz.png'),
-                        viz_inv_depth(np.asarray(inv_depth)[..., 0]))
+            if colormap == 'depth':
+                viz = viz_depth_metric(depth, params_cfg.min_depth or 0.5,
+                                       params_cfg.max_depth or 80.0)
+            else:
+                viz = viz_inv_depth(np.asarray(inv_depth)[..., 0])
+            write_image(os.path.join(output_path, base + '_viz.png'), viz)
         print('saved', base)
 
 
@@ -111,4 +122,5 @@ if __name__ == '__main__':
         from packnet_sfm_tpu.utils.hostjax import force_cpu
         force_cpu()
     infer_and_save_depth(args.checkpoint, args.input, args.output,
-                         args.image_shape, args.save, args.mask)
+                         args.image_shape, args.save, args.mask,
+                         args.colormap)

@@ -471,3 +471,45 @@ def test_offline_vadas_projection_golden():
     rvec = np.array([0.00100918, -0.236104, -0.0219886])
     R_cv, _ = cv2.Rodrigues(rvec)
     assert np.allclose(rodrigues_to_mat(rvec), R_cv, atol=1e-12)
+
+
+def test_overfit_selfsup_ab_verdict(tmp_path):
+    """compute_verdict gates on the trajectory tail + GT metric parity,
+    not the single-endpoint loss (scripts/overfit_selfsup_ab.py); the
+    --reverdict CLI recomputes in place."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'overfit_selfsup_ab',
+        os.path.join(REPO, 'scripts', 'overfit_selfsup_ab.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    f32 = {'converged': True, 'loss_last': 0.02,
+           'trajectory': {'loss': [0.2, 0.05, 0.04, 0.02]},
+           'final_val_metrics': {'depth_gt-abs_rel': 0.14}}
+    bf16 = {'converged': True, 'loss_last': 0.03,
+            'trajectory': {'loss': [0.2, 0.06, 0.03, 0.03]},
+            'final_val_metrics': {'depth_gt-abs_rel': 0.1401}}
+    v = mod.compute_verdict(f32, bf16)
+    # endpoint gap is 50% but the tail tracks and metrics match
+    assert v['final_loss_rel_gap'] == 0.5
+    assert v['bf16_tracks_fp32'] and v['default_justified']
+
+    # a real quality regression (abs_rel 0.14 -> 0.30) must fail the gate
+    bad = dict(bf16, final_val_metrics={'depth_gt-abs_rel': 0.30})
+    assert not mod.compute_verdict(f32, bad)['default_justified']
+
+    # diverged tail must fail even with matching metrics
+    div = dict(bf16, trajectory={'loss': [0.2, 0.3, 0.4, 0.5]},
+               converged=False)
+    assert not mod.compute_verdict(f32, div)['default_justified']
+
+    art = tmp_path / 'ab.json'
+    art.write_text(json.dumps(
+        {'verdict': {}, 'epochs': 4, 'float32': f32, 'bfloat16': bf16}))
+    rc = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'scripts',
+                                      'overfit_selfsup_ab.py'),
+         '--reverdict', str(art)], capture_output=True, text=True)
+    assert rc.returncode == 0, rc.stderr
+    assert json.loads(art.read_text())['verdict']['default_justified']
