@@ -48,8 +48,10 @@ def build(workload):
     model = setup_model(cfg)
     mesh = make_mesh()
     dev = shard_batch(batch, mesh)
+    # clip_grad must match bench.py's optimizer chain or the persistent
+    # compile cache misses (same lesson as bench_selfsup_breakdown.py)
     opt = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
-                         steps_per_epoch=100, clip_grad=0.0)
+                         steps_per_epoch=100, clip_grad=cfg.arch.clip_grad)
     state = init_state(model, opt, dev, jax.random.PRNGKey(0))
     state = replicate_state(state, mesh)
     step = make_train_step(model, opt, mesh=mesh, donate=True)
