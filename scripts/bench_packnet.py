@@ -64,4 +64,12 @@ if __name__ == '__main__':
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
     for spec in (sys.argv[1:] or ['depthwin2d', 'depthwise',
                                   'conv3d+remat']):
-        run(spec)
+        # one impl failing (e.g. depthwise's grouped-conv BACKWARD OOMs at
+        # compile: XLA materializes bf16[8,96,320,8,256] per-group windows
+        # padded 16x to 15G — artifacts/bench_r5/packnet_ab.err) must not
+        # cost the other impls' numbers
+        try:
+            run(spec)
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).splitlines()[0] if str(e) else repr(e)
+            print('{:16s} FAILED: {}'.format(spec, msg[:200]), flush=True)
