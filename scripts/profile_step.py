@@ -91,6 +91,12 @@ def main():
         float(m['loss'])
     print('trace done')
 
+    parse_trace(tdir, steps=3)
+
+
+def parse_trace(tdir, steps=3, top=25):
+    """Aggregate the newest trace under `tdir` into per-op / per-class
+    device-time tables (ms per step)."""
     trace = sorted(glob.glob(tdir + '/plugins/profile/*/*.trace.json.gz'))[-1]
     data = json.load(gzip.open(trace))
     events = data['traceEvents']
@@ -104,7 +110,7 @@ def main():
     for e in events:
         if (e.get('ph') == 'X' and e.get('pid') in devpids
                 and 'dur' in e):
-            per_op[e['name']] += e['dur'] / 1e3 / 3.0   # ms/step
+            per_op[e['name']] += e['dur'] / 1e3 / steps   # ms/step
             count[e['name']] += 1
     rollup = defaultdict(float)
     for name, ms in per_op.items():
@@ -113,9 +119,10 @@ def main():
     print('\n== per-step device time: {:.1f} ms =='.format(total))
     for cls, ms in sorted(rollup.items(), key=lambda kv: -kv[1]):
         print('{:28s} {:7.2f} ms  {:4.1f}%'.format(cls, ms, 100 * ms / total))
-    print('\n== top 25 ops ==')
-    for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:25]:
-        print('{:7.2f} ms  x{:<3d} {}'.format(ms, count[name] // 3, name[:90]))
+    print('\n== top {} ops =='.format(top))
+    for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
+        print('{:7.2f} ms  x{:<3d} {}'.format(ms, count[name] // steps,
+                                              name[:90]))
 
 
 if __name__ == '__main__':
