@@ -66,11 +66,15 @@ INTERPRET = False
 TILE_ROWS = 8     # output rows per grid program
 # Per-output-row source band. Real SfM flows have vertical displacement
 # varying with DEPTH across one output row (dy = f*ty/Z + rotation): the
-# measured y-span on the selfsup workload is 14-18 rows (round 3 probe),
-# so the band must be much wider than bilinear+1 — BH=24 covers spans up
-# to 22; wider flows fall back to the XLA path via the violation flag.
-BH = 24
-TILE_BAND = 48    # DMA'd band per tile (BH + inter-row tilt <= 24)
+# measured y-span on the selfsup workload is 14-22 rows (round 3 probe).
+# BH=24 (covers spans <= 22) had ZERO margin on that workload: the span
+# sat exactly at the limit on CPU, and the TPU's bf16 pose forward nudged
+# one context's grid to span 23 — the violation cond then silently took
+# the 35 ms XLA fallback every step while the isolated kernel A/B showed
+# 8.5x (round-5 device profile, BENCH_NOTES). BH=32 gives an 8-row margin
+# at ~1 ms extra kernel time; wider flows still fall back exactly.
+BH = 32
+TILE_BAND = 64    # DMA'd band per tile (BH + inter-row tilt <= TILE_BAND-BH)
 LANE = 128
 # Per-chunk source window (displacement band |dx| <~ 128 at the default 3
 # chunks). The one-hot contraction's FLOPs scale linearly with WIN, so the
@@ -159,11 +163,14 @@ def _pack_source(image, padding_mode, dtype=jnp.float32):
     right = jnp.concatenate([P[:, :, 1:], P[:, :, -1:]], axis=2)
     packed = jnp.concatenate([P, right], axis=-1).transpose(0, 1, 3, 2)
     Hp, Wp = H + 4, W + 4
-    # at least WIN lanes so the static chunk windows always fit
+    # at least WIN lanes so the static chunk windows always fit; at least
+    # TILE_BAND rows so the per-tile DMA slice always fits (the zero rows
+    # are never selected: yc <= Hp-2 and the ylocal selects stay in-image)
     wpad = max(_cdiv(Wp, LANE) * LANE, WIN)
     packed = jnp.pad(packed,
-                     ((0, 0), (0, 0), (0, 8 - 2 * C), (0, wpad - Wp)))
-    return packed, Hp, wpad
+                     ((0, 0), (0, max(0, TILE_BAND - Hp)),
+                      (0, 8 - 2 * C), (0, wpad - Wp)))
+    return packed, max(Hp, TILE_BAND), wpad
 
 
 def warp_plan(image_shape, grid, padding_mode='zeros'):
@@ -195,10 +202,14 @@ def warp_plan(image_shape, grid, padding_mode='zeros'):
     wx = (x - x0).astype(jnp.float32)
     wy = (y - y0).astype(jnp.float32)
 
-    Wp, Hp = W + 4, H + 4
+    Wp = W + 4
+    Hp_real = H + 4
+    Hp = max(Hp_real, TILE_BAND)  # _pack_source pads short sources to the band
     wpad = max(_cdiv(Wp, LANE) * LANE, WIN)
     xc = jnp.clip(x0 + 2.0, 0, Wp - 2).astype(jnp.int32)   # [B,Ho,Wo]
-    yc = jnp.clip(y0 + 2.0, 0, Hp - 2).astype(jnp.int32)
+    # clip against the REAL padded-image height (XLA-path parity: samples
+    # clamp into the 2-pixel dead border, never into the band-fill rows)
+    yc = jnp.clip(y0 + 2.0, 0, Hp_real - 2).astype(jnp.int32)
 
     # pad output geometry to kernel granularity (edge mode: zero padding
     # would poison the per-row band minima)
@@ -322,6 +333,7 @@ def warp_pallas_supported(image, grid):
     """Static eligibility for the Pallas warp path."""
     B, H, W, C = image.shape
     _, Ho, Wo, _ = grid.shape
-    # the band must fit the padded source height
-    return (C <= 3 and H + 4 >= TILE_BAND and Ho * Wo >= 16 * LANE
+    # short sources are band-padded in _pack_source, so height is
+    # unconstrained; gate on channel packing + enough work to amortize
+    return (C <= 3 and Ho * Wo >= 16 * LANE
             and (jax.default_backend() == 'tpu' or INTERPRET))
