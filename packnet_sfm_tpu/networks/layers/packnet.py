@@ -47,22 +47,38 @@ def unpacking(x, r=2):
 
 
 class Conv2D(nn.Module):
-    """conv(k, stride) + GroupNorm(16) + ELU, zero 'same' padding."""
+    """conv(k, stride) + GroupNorm(16) + ELU, zero 'same' padding.
+
+    Setup-style with the compact-era child names ('Conv_0'/'GroupNorm_0')
+    so checkpoints are unaffected; `conv_only`/`norm_act` expose the two
+    halves for the fused pack layer (GroupNorm is a global per-sample
+    statistic, so the linear conv is the only fusable part).
+    """
     features: int
     kernel_size: int = 3
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         p = self.kernel_size // 2
-        x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
-                    strides=(self.stride, self.stride), padding=p,
-                    kernel_init=XAVIER, dtype=self.dtype)(x)
+        self.conv = nn.Conv(self.features,
+                            (self.kernel_size, self.kernel_size),
+                            strides=(self.stride, self.stride), padding=p,
+                            kernel_init=XAVIER, dtype=self.dtype,
+                            name='Conv_0')
         # epsilon matches torch GroupNorm (1e-5; flax defaults 1e-6) for
         # exact reference-checkpoint transport
-        x = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=jnp.float32)(x)
-        return nn.elu(x)
+        self.norm = nn.GroupNorm(num_groups=16, epsilon=1e-5,
+                                 dtype=jnp.float32, name='GroupNorm_0')
+
+    def conv_only(self, x):
+        return self.conv(x)
+
+    def norm_act(self, x):
+        return nn.elu(self.norm(x))
+
+    def __call__(self, x):
+        return self.norm_act(self.conv(x))
 
 
 class ResidualConv(nn.Module):
@@ -144,14 +160,90 @@ class _Conv3DStack(nn.Module):
     dtype: jnp.dtype = jnp.float32
     impl: str = 'depthwin2d'
 
-    @nn.compact
+    def setup(self):
+        if self.impl == 'conv3d':
+            self.conv3 = nn.Conv(self.d, (3, 3, 3), padding=1,
+                                 kernel_init=XAVIER, dtype=self.dtype,
+                                 name='Conv_0')
+        else:
+            # all 2D formulations share ONE param layout ([kh,kw,dz,j] +
+            # [j]) so impl is a pure runtime choice — checkpoints move
+            # between them unchanged and the fused pack layer can read
+            # the weights directly
+            self.win2d_kernel = self.param('win2d_kernel', XAVIER,
+                                           (3, 3, 3, self.d))
+            self.win2d_bias = self.param('win2d_bias',
+                                         nn.initializers.zeros, (self.d,))
+
+    def get_weights(self):
+        """(kernel [kh,kw,dz,j], bias [j]) for the fused pack layer."""
+        if self.impl == 'conv3d':
+            raise ValueError(
+                'fused pack layer requires a 2D CONV3D_IMPL '
+                "('shifts'/'depthwise'/'grouped3'/'depthwin2d'), got "
+                + self.impl)
+        return self.win2d_kernel, self.win2d_bias
+
     def __call__(self, x):
         B, H, W, C = x.shape
         if self.impl == 'conv3d':
             v = x.transpose(0, 3, 1, 2)[..., None]     # [B,C,H,W,1] (C=depth)
-            v = nn.Conv(self.d, (3, 3, 3), padding=1, kernel_init=XAVIER,
-                        dtype=self.dtype)(v)           # [B,C,H,W,d]
+            v = self.conv3(v)                          # [B,C,H,W,d]
             return v.transpose(0, 2, 3, 4, 1).reshape(B, H, W, self.d * C)
+        if self.impl == 'grouped3':
+            # ONE grouped conv, no B*C batch relayout and no trailing-8
+            # lane dim (the two layout poisons measured in the r5 profile:
+            # 47 ms/step of copy/reshape/slice/pad under depthwin2d).
+            # Window the depth axis into the lane dim ([B,H,W,3C], c-major
+            # (c,dz)), then conv with feature_group_count=C and the SAME
+            # [3,3,3,d] kernel tiled across groups — per-group in=3,
+            # out=d, output lanes 8C. The tile broadcast's VJP sums the
+            # per-group weight grads back to [3,3,3,d] automatically.
+            kern, bias = self.win2d_kernel, self.win2d_bias
+            xp = jnp.pad(x.astype(self.dtype),
+                         ((0, 0), (0, 0), (0, 0), (1, 1)))
+            xw = jnp.stack([xp[..., 0:C], xp[..., 1:C + 1],
+                            xp[..., 2:C + 2]], axis=-1)   # [B,H,W,C,3]
+            xw = xw.reshape(B, H, W, C * 3)
+            rhs = jnp.tile(kern.astype(self.dtype).reshape(3, 3, 3, 1,
+                                                           self.d),
+                           (1, 1, 1, C, 1))               # [3,3,3,C,d]
+            rhs = rhs.reshape(3, 3, 3, C * self.d)        # out (c,j) c-major
+            y = jax.lax.conv_general_dilated(
+                xw, rhs, (1, 1), 'SAME', feature_group_count=C,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            y = y + jnp.tile(bias.astype(y.dtype), C)
+            # grouped output is c-major (c,j); flatten d-major (docstring)
+            return y.reshape(B, H, W, C, self.d).transpose(
+                0, 1, 2, 4, 3).reshape(B, H, W, self.d * C)
+        if self.impl == 'shifts':
+            # Bandwidth-first formulation: the op is ~27 GF/layer with the
+            # SAME [3,3,3,d] kernel broadcast across all C channels, so it
+            # is HBM-bound, not MXU work. Each output block j (d-major:
+            # y[..., j*C:(j+1)*C]) is a 27-term scalar-weighted sum of
+            # spatially/depth-shifted slices of ONE zero-padded copy of x —
+            # pure elementwise adds that XLA fuses into a single pass with
+            # the lane dim kept at C (no [B,H,W,C,3] window tensor, no
+            # B*C batch relayout, no grouped conv trailing-1 padding:
+            # those are the failure modes of the other three impls,
+            # artifacts/bench_r5/packnet_ab.err). Kernel layout
+            # [kh,kw,dz,j] identical to 'depthwise', so checkpoints
+            # transport unchanged.
+            kern, bias = self.win2d_kernel, self.win2d_bias
+            kern = kern.astype(self.dtype)
+            xp = jnp.pad(x.astype(self.dtype),
+                         ((0, 0), (1, 1), (1, 1), (1, 1)))
+            blocks = []
+            for j in range(self.d):
+                acc = None
+                for dz in range(3):
+                    for kh in range(3):
+                        for kw in range(3):
+                            t = (xp[:, kh:kh + H, kw:kw + W, dz:dz + C]
+                                 * kern[kh, kw, dz, j])
+                            acc = t if acc is None else acc + t
+                blocks.append(acc + bias[j].astype(acc.dtype))
+            return jnp.concatenate(blocks, axis=-1)
         if self.impl == 'depthwise':
             # Same math as three depthwise convs (feature_group_count=C,
             # channel multiplier d): y[..., c*d+j] =
@@ -162,9 +254,7 @@ class _Conv3DStack(nn.Module):
             # layout [kh,kw,dz,j] matches the 'win2d' nn.Conv kernel, so
             # checkpoints remap by renaming win2d/{kernel,bias} ->
             # win2d_{kernel,bias}.
-            kern = self.param('win2d_kernel', XAVIER, (3, 3, 3, self.d))
-            bias = self.param('win2d_bias', nn.initializers.zeros,
-                              (self.d,))
+            kern, bias = self.win2d_kernel, self.win2d_bias
             kern = kern.astype(self.dtype)
             xp = jnp.pad(x.astype(self.dtype),
                          ((0, 0), (0, 0), (0, 0), (1, 1)))
@@ -186,14 +276,64 @@ class _Conv3DStack(nn.Module):
         xw = jnp.stack([xp[..., 0:C], xp[..., 1:C + 1], xp[..., 2:C + 2]],
                        axis=-1)                        # [B,H,W,C,3]
         v = xw.transpose(0, 3, 1, 2, 4).reshape(B * C, H, W, 3)
-        v = nn.Conv(self.d, (3, 3), padding=1, kernel_init=XAVIER,
-                    dtype=self.dtype, name='win2d')(v)  # [B*C,H,W,d]
+        v = jax.lax.conv_general_dilated(
+            v.astype(self.dtype),
+            self.win2d_kernel.astype(self.dtype), (1, 1), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))  # [B*C,H,W,d]
+        v = v + self.win2d_bias.astype(v.dtype)
         v = v.reshape(B, C, H, W, self.d)
         return v.transpose(0, 2, 3, 4, 1).reshape(B, H, W, self.d * C)
 
 
+# Fuse the pack layer's Conv3DStack into the following Conv2D as ONE dense
+# conv (see _fused_pack_conv). Module-level like CONV3D_IMPL so benches can
+# A/B; requires an explicit-param CONV3D_IMPL.
+PACK_FUSED = False
+
+
+def _compose_pack_weights(kern, bias, w2, C):
+    """Compose the stack kernel [3,3,dz,j] with the Conv2D kernel
+    [k,k,8C,F] into one dense conv kernel [k+2,k+2,C,F] plus the constant
+    channel offset the stack bias contributes through the conv.
+
+    The stack is linear: y[p, jC+c] = sum_dz K[kh',kw',dz,j]
+    x[p+kh'-1, p+kw'-1, c+dz-1] (zero outside [0,C)), so
+    conv_k(y) == conv_{k+2}(x, W_eff) wherever the conv never reads the
+    zero-padded border of y. W_eff[kh+kh', kw+kw', c+dz-1, f] +=
+    W2[kh,kw,jC+c,f] * K[kh',kw',dz,j]; terms with c+dz-1 outside [0,C)
+    drop (that is the stack's channel zero-pad).
+    """
+    k = w2.shape[0]
+    F = w2.shape[-1]
+    d = kern.shape[-1]
+    w2r = w2.reshape(k, k, d, C, F)                      # d-major (j, c)
+    acc = jnp.zeros((k + 2, k + 2, C + 2, F), w2.dtype)
+    for kh2 in range(3):
+        for kw2 in range(3):
+            for dz in range(3):
+                contrib = jnp.einsum('abjcf,j->abcf', w2r,
+                                     kern[kh2, kw2, dz])
+                acc = acc.at[kh2:kh2 + k, kw2:kw2 + k,
+                             dz:dz + C].add(contrib)
+    w_eff = acc[:, :, 1:C + 1]
+    # stack bias rides every (j,c) channel of y; through the conv it is a
+    # constant per-F offset in the interior (strips handle their own)
+    b_const = jnp.einsum('abjcf,j->f', w2r, bias)
+    return w_eff, b_const
+
+
 class PackLayerConv3d(nn.Module):
-    """pack(r) -> Conv3D(1->d) -> flatten -> Conv2D+GN+ELU back to C."""
+    """pack(r) -> Conv3D(1->d) -> flatten -> Conv2D+GN+ELU back to C.
+
+    With PACK_FUSED, the interior output is ONE dense (k+2)x(k+2) C->F
+    conv with the composed kernel — ~4x fewer FLOPs than the two-stage
+    pair on the big layers (pack1 at 192x640 bs8: 1.61 TF -> 0.39 TF) and
+    the 8C intermediate is never materialized. Zero-padding semantics
+    differ from the two-stage form only where the conv reads the stack
+    output's zero border, i.e. an m=k//2 output ring, which is recomputed
+    EXACTLY via the two-stage path on 2m-thin strips (~3% of pixels).
+    Same params either way: checkpoints transport unchanged.
+    """
     features: int              # = input channels (layer preserves C)
     kernel_size: int = 3
     r: int = 2
@@ -203,8 +343,45 @@ class PackLayerConv3d(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = packing(x, self.r)
-        x = _Conv3DStack(self.d, self.dtype, impl=CONV3D_IMPL)(x)
-        return Conv2D(self.features, self.kernel_size, 1, self.dtype)(x)
+        stack = _Conv3DStack(self.d, self.dtype, impl=CONV3D_IMPL)
+        conv2d = Conv2D(self.features, self.kernel_size, 1, self.dtype)
+        B, H, W, C = x.shape
+        k = self.kernel_size
+        m = k // 2
+        # two-stage path: fused off, literal-3D impl, or too small for the
+        # border strips (tiny feature maps are cheap either way)
+        if (not PACK_FUSED or CONV3D_IMPL == 'conv3d'
+                or H < 4 * m or W < 4 * m):
+            return conv2d(stack(x))
+        # --- exact border ring via the two-stage path on thin strips.
+        # z[q] with dist(q, border) < m reads the zero-padded border of
+        # the stack output y; y rows/cols needed are only the REAL
+        # 0..2m-1 band (beyond that the conv's own zero pad applies),
+        # computed from x bands of 2m+1 (stack pads its outermost row
+        # itself). conv_only's SAME pad supplies the y zero border.
+        top = conv2d.conv_only(stack(x[:, :2 * m + 1])[:, :2 * m])[:, :m]
+        bot = conv2d.conv_only(
+            stack(x[:, H - 2 * m - 1:])[:, 1:])[:, m:]
+        left = conv2d.conv_only(
+            stack(x[:, :, :2 * m + 1])[:, :, :2 * m])[:, :, :m]
+        right = conv2d.conv_only(
+            stack(x[:, :, W - 2 * m - 1:])[:, :, 1:])[:, :, m:]
+
+        # --- interior: one composed dense conv
+        kern, sbias = stack.get_weights()
+        w2 = conv2d.conv.variables['params']['kernel']
+        b2 = conv2d.conv.variables['params']['bias']
+        w_eff, b_const = _compose_pack_weights(kern, sbias, w2, C)
+        z = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w_eff.astype(self.dtype), (1, 1),
+            [(m + 1, m + 1), (m + 1, m + 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        z = z + (b2 + b_const).astype(z.dtype)
+        z = z.at[:, :m].set(top.astype(z.dtype))
+        z = z.at[:, H - m:].set(bot.astype(z.dtype))
+        z = z.at[:, :, :m].set(left.astype(z.dtype))
+        z = z.at[:, :, W - m:].set(right.astype(z.dtype))
+        return conv2d.norm_act(z)
 
 
 class UnpackLayerConv3d(nn.Module):

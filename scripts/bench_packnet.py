@@ -24,6 +24,7 @@ def run(spec, B=8, H=192, W=640):
     impl, _, suffix = spec.partition('+')
     remat = suffix == 'remat'
     packnet_layers.CONV3D_IMPL = impl
+    packnet_layers.PACK_FUSED = suffix == 'fused'
 
     import bench
     cfg = bench._base_cfg()

@@ -25,6 +25,22 @@ def build(workload):
     cfg = bench._base_cfg()
     cfg.model.depth_net.use_film = True
     cfg.model.loss.supervised_method = 'sparse-ssi-silog'
+    if workload.startswith('packnet01'):
+        # the bench packnet01 A/B workload (upstream headline encoder)
+        _, _, impl = workload.partition(':')
+        if impl:
+            from packnet_sfm_tpu.networks.layers import packnet as pn
+            impl, _, suffix = impl.partition('+')
+            pn.CONV3D_IMPL = impl
+            pn.PACK_FUSED = suffix == 'fused'
+        cfg.model.depth_net.name = 'PackNet01'
+        cfg.model.depth_net.version = '1A'
+        cfg.model.pose_net.name = ''
+        cfg.model.loss.supervised_method = 'sparse-l1'
+        cfg.model.loss.supervised_loss_weight = 1.0
+        rng = np.random.RandomState(0)
+        batch = bench._rand_batch(rng, 8, 192, 640, lidar=False, contexts=0)
+        return _finish(cfg, batch)
     if workload == 'selfsup':
         cfg.model.pose_net.name = 'PoseNet'
         cfg.model.loss.supervised_loss_weight = 0.9
@@ -39,7 +55,11 @@ def build(workload):
     rng = np.random.RandomState(0)
     B, H, W = 8, 192, 640
     batch = bench._rand_batch(rng, B, H, W, lidar=True, contexts=contexts)
+    return _finish(cfg, batch)
 
+
+def _finish(cfg, batch):
+    import jax
     from packnet_sfm_tpu.models import setup_model
     from packnet_sfm_tpu.parallel.mesh import (
         make_mesh, shard_batch, replicate_state)
@@ -95,34 +115,52 @@ def main():
 
 
 def parse_trace(tdir, steps=3, top=25):
-    """Aggregate the newest trace under `tdir` into per-op / per-class
-    device-time tables (ms per step)."""
+    """Aggregate the newest trace under `tdir` into per-op tables
+    (ms per step) on the 'XLA Ops' device track, with the profiler's own
+    hlo_category / model_flops / bytes_accessed so each op shows its
+    achieved TF/s and GB/s and its top repo source line."""
     trace = sorted(glob.glob(tdir + '/plugins/profile/*/*.trace.json.gz'))[-1]
     data = json.load(gzip.open(trace))
     events = data['traceEvents']
-    # device tracks: process named like '/device:TPU:0' / 'TPU:0'
     devpids = {e['pid'] for e in events
                if e.get('ph') == 'M' and e.get('name') == 'process_name'
                and 'TPU' in str(e.get('args', {}).get('name', ''))
                and 'pjrt' not in str(e.get('args', {}).get('name', ''))}
-    per_op = defaultdict(float)
-    count = defaultdict(int)
+    optids = {(e['pid'], e.get('tid')) for e in events
+              if e.get('ph') == 'M' and e.get('name') == 'thread_name'
+              and e['pid'] in devpids
+              and e.get('args', {}).get('name') == 'XLA Ops'}
+    per_op = defaultdict(lambda: [0.0, 0, 0.0, 0.0, '', ''])
     for e in events:
-        if (e.get('ph') == 'X' and e.get('pid') in devpids
+        if (e.get('ph') == 'X' and (e.get('pid'), e.get('tid')) in optids
                 and 'dur' in e):
-            per_op[e['name']] += e['dur'] / 1e3 / steps   # ms/step
-            count[e['name']] += 1
-    rollup = defaultdict(float)
-    for name, ms in per_op.items():
-        rollup[classify(name)] += ms
-    total = sum(per_op.values())
+            a = e.get('args', {})
+            r = per_op[e['name']]
+            r[0] += e['dur'] / 1e3 / steps   # ms/step
+            r[1] += 1
+            r[2] += float(a.get('model_flops', 0) or 0) / steps
+            r[3] += float(a.get('bytes_accessed', 0) or 0) / steps
+            r[4] = a.get('hlo_category', '')
+            if not r[5]:
+                for ln in str(a.get('source_stack', '')).split('\n'):
+                    if '/root/repo' in ln and 'flax' not in ln:
+                        r[5] = ln.split('/')[-1]
+                        break
+    rollup = defaultdict(lambda: [0.0, 0.0])
+    for name, r in per_op.items():
+        rollup[r[4] or classify(name)][0] += r[0]
+        rollup[r[4] or classify(name)][1] += r[2]
+    total = sum(r[0] for r in per_op.values())
     print('\n== per-step device time: {:.1f} ms =='.format(total))
-    for cls, ms in sorted(rollup.items(), key=lambda kv: -kv[1]):
-        print('{:28s} {:7.2f} ms  {:4.1f}%'.format(cls, ms, 100 * ms / total))
+    for cls, (ms, fl) in sorted(rollup.items(), key=lambda kv: -kv[1][0]):
+        print('{:28s} {:7.2f} ms  {:4.1f}%  {:7.1f} GF'.format(
+            cls, ms, 100 * ms / total, fl / 1e9))
     print('\n== top {} ops =='.format(top))
-    for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
-        print('{:7.2f} ms  x{:<3d} {}'.format(ms, count[name] // steps,
-                                              name[:90]))
+    for name, r in sorted(per_op.items(), key=lambda kv: -kv[1][0])[:top]:
+        ms, n, fl, by, cat, src = r
+        print('{:7.2f} ms x{:<2d} {:5.1f} TF/s {:6.1f} GB/s {:18s} {:28s} {}'
+              .format(ms, n // steps, fl / ms / 1e9 if ms else 0,
+                      by / ms / 1e6 if ms else 0, cat[:18], name[:28], src))
 
 
 if __name__ == '__main__':
